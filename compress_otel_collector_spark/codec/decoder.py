@@ -1,0 +1,171 @@
+"""Decoder for the value-tree dictionary wire format.
+
+Wire parity: ``/root/reference/compress-otel-receiver/decode.go:12-334`` and
+``reader.go:9-101`` (plus the sign-extension fix documented in
+``varint.py``). Returns plain Python values (see ``values.py``); nullable
+fields whose presence flag is 0 decode to ``None``.
+
+Pool entries are decoded with ``use_pool=False`` (no root null flag, no root
+pool indirection — decode.go:59-67) and a ``None`` diff state (diff-encoded
+fields are schema-forbidden inside pools, enforced at schema load).
+"""
+
+from __future__ import annotations
+
+import struct
+
+from .definition import (
+    ARRAY,
+    BOOLEAN,
+    BYTES,
+    DOUBLE,
+    INTEGER,
+    OBJECT,
+    STRING,
+    Definition,
+    field_path_to_definition,
+)
+from .values import CodecError
+from .varint import decode_sleb128
+
+_MAGIC = b"cprval"
+_UNPACK_DOUBLE = struct.Struct("<d").unpack_from
+
+
+class _Reader:
+    __slots__ = ("data", "pos")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+
+    def read_varint(self) -> int:
+        v, self.pos = decode_sleb128(self.data, self.pos)
+        return v
+
+    def read_bytes(self, n: int) -> bytes:
+        if self.pos + n > len(self.data):
+            raise CodecError("no data available for bytes")
+        out = self.data[self.pos:self.pos + n]
+        self.pos += n
+        return out
+
+    def read_string(self, n: int) -> str:
+        return self.read_bytes(n).decode("utf-8")
+
+    def read_bool(self) -> bool:
+        return self.read_bytes(1)[0] != 0
+
+    def read_double(self) -> float:
+        if self.pos + 8 > len(self.data):
+            raise CodecError("not enough data for double")
+        (v,) = _UNPACK_DOUBLE(self.data, self.pos)
+        self.pos += 8
+        return v
+
+
+def decode(blob: bytes, definition: Definition):
+    """Decode one framed blob; inverse of :func:`encoder.encode`."""
+    r = _Reader(bytes(blob))
+
+    string_pool: list[str] = []
+    for _ in range(r.read_varint()):
+        string_pool.append(r.read_string(r.read_varint()))
+
+    value_pools: dict[str, list] = {}
+    for _ in range(r.read_varint()):
+        pool_id = r.read_string(r.read_varint())
+        pool_def = field_path_to_definition(pool_id, definition)
+        entries: list = []
+        value_pools[pool_id] = entries
+        for _ in range(r.read_varint()):
+            entries.append(
+                _inner_decode(pool_def, pool_id, None, string_pool,
+                              value_pools, r, use_pool=False)
+            )
+
+    if r.read_bytes(len(_MAGIC)) != _MAGIC:
+        raise CodecError("magic error")
+    return _inner_decode(definition, "", {}, string_pool, value_pools, r,
+                         use_pool=True)
+
+
+def _inner_decode(d: Definition, path: str, status, string_pool, value_pools,
+                  r: _Reader, use_pool: bool):
+    if d.nullable and use_pool:  # pool entries carry no root null flag
+        if not r.read_bool():
+            return None
+
+    t = d.type
+    if t == INTEGER:
+        v = r.read_varint()
+        if d.diff_encode:
+            prev = status.get(path)
+            if prev is not None:
+                v += prev
+            status[path] = v
+        return v
+    if t == BOOLEAN:
+        return r.read_bool()
+    if t == DOUBLE:
+        return r.read_double()
+
+    if d.is_pool_member and use_pool:
+        pool = value_pools[d.pool_id(path)]
+        return pool[r.read_varint()]
+
+    if t == BYTES:
+        return r.read_bytes(r.read_varint())
+    if t == STRING:
+        return r.read_string(r.read_varint())
+    if t == OBJECT:
+        if d.is_free_map:
+            return _free_map_decode(string_pool, r)
+        prefix = path + " " if path else ""
+        out = {}
+        for name in d.sorted_field_names:
+            out[name] = _inner_decode(d.fields[name], prefix + name, status,
+                                      string_pool, value_pools, r, True)
+        return out
+    if t == ARRAY:
+        n = r.read_varint()
+        item_path = (path + " " if path else "") + "item"
+        return [
+            _inner_decode(d.item, item_path, status, string_pool, value_pools,
+                          r, True)
+            for _ in range(n)
+        ]
+    raise CodecError(f"unknown definition type {t}")
+
+
+def _free_map_decode(string_pool, r: _Reader) -> dict:
+    """decode.go:242-270."""
+    out = {}
+    for _ in range(r.read_varint()):
+        key = string_pool[r.read_varint()]
+        if not r.read_bool():
+            out[key] = None
+        else:
+            out[key] = _free_value_decode(string_pool, r)
+    return out
+
+
+def _free_value_decode(string_pool, r: _Reader):
+    """decode.go:272-334."""
+    tag = r.read_varint()
+    if tag == INTEGER:
+        return r.read_varint()
+    if tag == BOOLEAN:
+        return r.read_bool()
+    if tag == DOUBLE:
+        return r.read_double()
+    if tag == BYTES:
+        return r.read_bytes(r.read_varint())
+    if tag == STRING:
+        return string_pool[r.read_varint()]
+    if tag == OBJECT:
+        return _free_map_decode(string_pool, r)
+    if tag == ARRAY:
+        return [_free_value_decode(string_pool, r)
+                for _ in range(r.read_varint())]
+    raise CodecError(f"unknown value type in free value: {tag}")
