@@ -1,0 +1,205 @@
+"""Batch (vectorized) encoder vs scalar encoder: decoded equality.
+
+The batch encoder assigns pool indices column-major (the scalar/reference
+encoder row-major), so blobs differ byte-wise but MUST decode to the same
+normalized document. Also pins determinism and dictionary compression wins.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from compress_otel_collector_spark.codec import (
+    decode,
+    encode,
+    normalize,
+    trace_model,
+)
+from compress_otel_collector_spark.codec.batch import (
+    DEFAULT_SCOPE,
+    SPAN_COLUMNS,
+    encode_span_dataframe,
+)
+
+T = 1_700_000_000_000_000_000
+
+
+def make_pdf(n=50, with_events=True, with_links=True, seed=7):
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        tid = bytes([i % 11]) * 16
+        sid = bytes([(i + 1) % 7]) * 8
+        events = []
+        if with_events and i % 3 == 0:
+            events = [
+                {
+                    "timeUnixNano": T + i * 1000 + 17,
+                    "name": f"ev{i % 2}",
+                    "attributes": {"retry": i % 2 == 0},
+                    "droppedAttributesCount": 0,
+                },
+                {
+                    "timeUnixNano": 0,  # null-coerced
+                    "name": "",
+                    "attributes": {},
+                    "droppedAttributesCount": int(i % 4),
+                },
+            ]
+        links = []
+        if with_links and i % 5 == 0:
+            links = [
+                {
+                    "traceId": bytes([i % 3]) * 16,
+                    "spanId": bytes([i % 4 + 1]) * 8,
+                    "traceState": "vendor=x" if i % 2 else "",
+                    "attributes": {"rel": "follows"},
+                    "droppedAttributesCount": 0,
+                }
+            ]
+        rows.append(
+            {
+                "trace_id": tid,
+                "span_id": sid,
+                "parent_span_id": b"" if i % 4 == 0 else bytes([i % 5]) * 8,
+                "trace_state": "" if i % 3 else "congo=t61",
+                "name": f"GET /p{i % 4}",
+                "kind": i % 6,
+                "start_ns": T + int(rng.integers(0, 10_000)),
+                "end_ns": T + int(rng.integers(10_000, 20_000)),
+                "attributes": {
+                    "http.url": f"https://h{i % 9}.example.com/p{i}",
+                    "http.status_code": 200 if i % 7 else 404,
+                    "score": float(i % 3) / 2.0,
+                },
+                "dropped_attributes_count": 0,
+                "events": events,
+                "dropped_events_count": 0,
+                "links": links,
+                "dropped_links_count": int(i % 2),
+                "status_message": "" if i % 2 else "OK",
+                "status_code": i % 3,
+                "lang": ["en", "zh", "de"][i % 3],
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def pdf_to_document(pdf, group_col=None, resource_attrs_for=None,
+                    scope=None, schema_url=None):
+    """Build the equivalent value-tree document for the scalar encoder."""
+    scope = scope if scope is not None else DEFAULT_SCOPE
+    if resource_attrs_for is None:
+        resource_attrs_for = lambda key: {  # noqa: E731
+            "service.name": f"crawler-{key}" if key is not None else "crawler"
+        }
+    if group_col is not None and len(pdf):
+        pdf = pdf.sort_values(group_col, kind="stable")
+        groups = [(k, g) for k, g in pdf.groupby(group_col, sort=False)]
+    else:
+        groups = [(None, pdf)]
+    resource_spans = []
+    for key, g in groups:
+        spans = []
+        for _, r in g.iterrows():
+            spans.append(
+                {
+                    "traceId": bytes(r["trace_id"]),
+                    "spanId": bytes(r["span_id"]),
+                    "traceState": r["trace_state"],
+                    "parentSpanId": bytes(r["parent_span_id"]),
+                    "name": r["name"],
+                    "kind": int(r["kind"]),
+                    "startTimeUnixNano": int(r["start_ns"]),
+                    "endTimeUnixNano": int(r["end_ns"]),
+                    "attributes": r["attributes"],
+                    "droppedAttributesCount": int(
+                        r["dropped_attributes_count"]),
+                    "events": list(r["events"]),
+                    "droppedEventsCount": int(r["dropped_events_count"]),
+                    "links": list(r["links"]),
+                    "droppedLinksCount": int(r["dropped_links_count"]),
+                    "status": {
+                        "message": r["status_message"],
+                        "code": int(r["status_code"]),
+                    },
+                }
+            )
+        resource_spans.append(
+            {
+                "resource": {
+                    "attributes": resource_attrs_for(key),
+                    "droppedAttributesCount": 0,
+                },
+                "scopeSpans": [
+                    {"scope": scope, "spans": spans,
+                     "schemaUrl": schema_url or ""}
+                ],
+                "schemaUrl": schema_url or "",
+            }
+        )
+    return {"resourceSpans": resource_spans}
+
+
+@pytest.mark.parametrize("group_col", [None, "lang"])
+def test_batch_matches_scalar_decoded(group_col):
+    pdf = make_pdf(60)
+    blob = encode_span_dataframe(pdf, group_col=group_col)
+    doc = pdf_to_document(pdf, group_col=group_col)
+    scalar_blob = encode(doc, trace_model())
+    m = trace_model()
+    assert decode(blob, m) == decode(scalar_blob, m) == normalize(doc, m)
+
+
+def test_batch_deterministic():
+    pdf = make_pdf(40)
+    assert encode_span_dataframe(pdf, group_col="lang") == \
+        encode_span_dataframe(pdf, group_col="lang")
+
+
+def test_batch_no_events_links():
+    pdf = make_pdf(25, with_events=False, with_links=False)
+    blob = encode_span_dataframe(pdf)
+    m = trace_model()
+    assert decode(blob, m) == normalize(pdf_to_document(pdf), m)
+
+
+def test_batch_empty():
+    pdf = make_pdf(0)
+    blob = encode_span_dataframe(pdf)
+    assert decode(blob, trace_model()) == {"resourceSpans": None}
+
+
+def test_batch_single_row():
+    pdf = make_pdf(1)
+    m = trace_model()
+    assert decode(encode_span_dataframe(pdf), m) == normalize(
+        pdf_to_document(pdf), m
+    )
+
+
+def test_schema_url_plumbs_through():
+    pdf = make_pdf(5)
+    blob = encode_span_dataframe(
+        pdf, group_col="lang", schema_url="https://example.com/schema"
+    )
+    out = decode(blob, trace_model())
+    assert out["resourceSpans"][0]["schemaUrl"] == "https://example.com/schema"
+    assert (
+        out["resourceSpans"][0]["scopeSpans"][0]["schemaUrl"]
+        == "https://example.com/schema"
+    )
+
+
+def test_dictionary_compression_wins():
+    """Repetitive batches (the web-text case) must shrink via pools."""
+    pdf = make_pdf(400)
+    blob = encode_span_dataframe(pdf, group_col="lang")
+    # ~25 distinct attribute dicts / ids pooled across 400 spans: the blob
+    # must be far smaller than 400 × the single-span cost.
+    single = len(encode_span_dataframe(make_pdf(1)))
+    assert len(blob) < 0.25 * 400 * single
+
+
+def test_all_columns_documented():
+    assert set(SPAN_COLUMNS) <= set(make_pdf(1).columns)
