@@ -1,0 +1,87 @@
+"""Reusable Column expressions for the pages pipeline.
+
+Everything here is JVM-side (``pyspark.sql.functions``) so Catalyst keeps
+whole-stage codegen and pushdown; the lone pandas UDF is an alternate parse
+path kept parity-tested against the native one (the reference's parse is a
+single regex pass — either form preserves byte-identical extraction).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
+
+#: the grok/regex that recovers the page text from the html bytes.
+#: (?s) lets the text span newlines; non-greedy up to the closing tag.
+TEXT_RE = r"(?s)<p>(.*?)</p>"
+
+
+def extract_text_expr(html_col: str = "html") -> Column:
+    """Native parse: html binary → UTF-8 → regex group 1 (byte-identical)."""
+    return F.regexp_extract(F.decode(F.col(html_col), "UTF-8"), TEXT_RE, 1)
+
+
+def _extract_text_batch(html: pd.Series) -> pd.Series:
+    return (
+        html.apply(lambda b: b.decode("utf-8", errors="replace"))
+        .str.extract(r"(?s)<p>(.*?)</p>", expand=False)
+        .fillna("")
+    )
+
+
+def extract_text_pandas(html_col) -> Column:
+    """Arrow-batched parse variant: vectorized pandas .str over the batch."""
+    return pandas_udf(_extract_text_batch, StringType())(html_col)
+
+
+def host_of_url_expr(url_col: str = "url") -> Column:
+    return F.regexp_extract(F.col(url_col), r"^https?://([^/]+)/", 1)
+
+
+def host_bucket_expr(host_col: str = "host", n_buckets: int = 8) -> Column:
+    """Stable route bucket. ``pmod(xxhash64)`` so buckets survive cluster
+    resizes (unlike hashpartitioning's internal seed-dependent layout)."""
+    return F.pmod(F.xxhash64(F.col(host_col)), F.lit(n_buckets)).cast("int")
+
+
+def salt_expr(url_col: str = "url", n_salts: int = 16) -> Column:
+    """Skew salt: splits a mega-host's route bucket across ``n_salts``
+    shuffle partitions while keeping (lang, host_bucket) routing intact."""
+    return F.pmod(F.xxhash64(F.col(url_col)), F.lit(n_salts)).cast("int")
+
+
+def warc_day_expr(ts_col: str = "warc_ts") -> Column:
+    return F.date_trunc("day", F.col(ts_col)).cast("date")
+
+
+def span_columns(doc_id_col: str = "doc_id") -> list[Column]:
+    """Synthesize the OTel-shaped span columns from a parsed page row.
+
+    Deterministic functions of (url, doc_id, warc_ts, text):
+    trace_id = md5(url) (16B), span_id = first 8B, parent empty (→ null-
+    coerced), timestamps in unix-nanos (reference keeps them as integers,
+    model/trace.json:108-117).
+    """
+    c = F.col(doc_id_col)
+    start_ns = F.unix_micros(F.col("warc_ts")) * 1000
+    return [
+        F.unhex(F.md5(F.col("url"))).alias("trace_id"),
+        F.unhex(F.substring(F.md5(F.col("url")), 1, 16)).alias("span_id"),
+        F.unhex(F.lit("")).alias("parent_span_id"),
+        F.when(c % 10 == 0, F.lit("cc=1")).otherwise(F.lit(""))
+        .alias("trace_state"),
+        F.concat(F.lit("GET /p"), (c % 20).cast("string")).alias("name"),
+        (c % 6).cast("long").alias("kind"),
+        start_ns.alias("start_ns"),
+        (start_ns + F.length(F.col("text")).cast("long") * 1000000)
+        .alias("end_ns"),
+        F.lit(0).cast("long").alias("dropped_attributes_count"),
+        F.lit(0).cast("long").alias("dropped_events_count"),
+        F.lit(0).cast("long").alias("dropped_links_count"),
+        F.lit("").alias("status_message"),
+        (c % 3).cast("long").alias("status_code"),
+        F.length(F.col("text")).cast("long").alias("n_chars"),
+    ]

@@ -1,0 +1,330 @@
+"""The flagship pipeline: parse → enrich → encode+compress → route → aggregate.
+
+Spark-first equivalent of the reference collector pipeline (OTLP source →
+batch → value-tree encode → zstd → HTTP route, SURVEY.md §3.1), recast for a
+Common-Crawl-style pages table:
+
+- **parse**: native regexp over the html bytes (Catalyst keeps codegen +
+  column pruning; a pandas-UDF variant exists parity-tested).
+- **enrich**: broadcast lang-lookup join (5-row dim — never a shuffle) +
+  warc_ts day bucketing + host/route-bucket derivation.
+- **encode**: ``mapInPandas`` — one wire blob per (lang, host_bucket) group
+  per Arrow batch, dictionary pools scoped per blob exactly like the
+  reference's per-``Encode()`` pools (encode.go:40-44). This is what makes
+  the design shuffle-free at 100 TB: dictionaries are partition-local, so no
+  global state, no extra shuffle, and pool hit-rate is maximized by routing
+  the repartition on (lang, host_bucket) with a salt column to split the
+  mega-host skew across tasks.
+- **route**: fan-out sink partitioned by (lang, host_bucket); each blob row
+  doubles as its own lineage record (n_spans, doc-id range, sha256, sizes) —
+  the partition dir is complete iff its blobs are present, which is what
+  makes reruns resumable without a separate manifest.
+- **aggregate**: per-sink counts + compression-ratio metrics (the reference's
+  size-comparison arms, trace.go:40-181: custom+zstd vs JSON+zstd vs gzip).
+
+Scale notes (100 TB / 1000 executors): the only wide exchange is the single
+``repartition(lang, host_bucket, salt)`` before encode — everything upstream
+is narrow, the lookup join is broadcast, and the sink write is
+partition-aligned with the shuffle so no second exchange happens. AQE can
+coalesce small route partitions; the salt bounds the largest task at
+(mega-host rows / n_salts).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator, Optional
+
+import pandas as pd
+import pyarrow as pa
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..codec.batch import encode_span_dataframe
+from ..codec.decoder import decode as decode_blob
+from ..codec.definition import trace_model
+from ..functions.columns import (
+    extract_text_expr,
+    extract_text_pandas,
+    host_bucket_expr,
+    host_of_url_expr,
+    salt_expr,
+    span_columns,
+    warc_day_expr,
+)
+from ..sources.tables import lang_lookup
+
+ENCODED_SCHEMA = StructType([
+    StructField("lang", StringType()),
+    StructField("host_bucket", IntegerType()),
+    StructField("part_id", IntegerType()),
+    StructField("n_spans", LongType()),
+    StructField("min_doc_id", LongType()),
+    StructField("max_doc_id", LongType()),
+    StructField("raw_bytes", LongType()),
+    StructField("zstd_bytes", LongType()),
+    StructField("gzip_bytes", LongType()),
+    StructField("json_zstd_bytes", LongType()),
+    StructField("blob_sha256", StringType()),
+    StructField("blob", BinaryType()),
+])
+
+
+def parse_stage(pages: DataFrame, use_pandas_udf: bool = False) -> DataFrame:
+    """Extract page text from the html bytes; keep rows that parse.
+
+    The per-row invariant (BASELINE.json input_hint) is byte-identical
+    extraction: ``text_extracted == text`` for every url — asserted by the
+    ``parse_extract`` oracle query and tests, not silently assumed.
+    """
+    extractor = (
+        extract_text_pandas(F.col("html")) if use_pandas_udf
+        else extract_text_expr("html")
+    )
+    return pages.withColumn("text_extracted", extractor).where(
+        F.col("text_extracted").isNotNull()
+    )
+
+
+def enrich_stage(df: DataFrame, spark: SparkSession,
+                 n_buckets: int = 8) -> DataFrame:
+    """Broadcast lookup enrich + routing keys. Unmatched langs keep nulls."""
+    dim = F.broadcast(lang_lookup(spark))
+    return (
+        df.join(dim, on="lang", how="left")
+        .withColumn("host", host_of_url_expr("url"))
+        .withColumn("host_bucket", host_bucket_expr("host", n_buckets))
+        .withColumn("warc_day", warc_day_expr("warc_ts"))
+    )
+
+
+def span_stage(df: DataFrame) -> DataFrame:
+    """Project the OTel-shaped span columns (all JVM-side expressions)."""
+    keep = [F.col(c) for c in
+            ("url", "lang", "host", "host_bucket", "warc_day", "doc_id")]
+    return df.select(*keep, *span_columns("doc_id"))
+
+
+def _encode_batches(arms: bool):
+    """Returns the mapInPandas function: Arrow batch → one blob per group."""
+
+    def fn(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pyarrow as pa
+        from pyspark import TaskContext
+
+        zstd = pa.Codec("zstd")
+        gzip = pa.Codec("gzip")
+        ctx = TaskContext.get()
+        part_id = ctx.partitionId() if ctx is not None else -1
+        for pdf in iterator:
+            if not len(pdf):
+                continue
+            out = []
+            for (lang, bucket), g in pdf.groupby(["lang", "host_bucket"],
+                                                 sort=True, dropna=False):
+                spans = pd.DataFrame({
+                    c: g[c].to_numpy()
+                    for c in ("trace_id", "span_id", "parent_span_id",
+                              "trace_state", "name", "kind", "start_ns",
+                              "end_ns", "dropped_attributes_count",
+                              "dropped_events_count", "dropped_links_count",
+                              "status_message", "status_code")
+                })
+                spans["attributes"] = [
+                    {"http.url": u, "http.status_code": 200,
+                     "lang": lang, "n_chars": int(nc)}
+                    for u, nc in zip(g["url"], g["n_chars"])
+                ]
+                spans["events"] = None
+                spans["links"] = None
+                blob = encode_span_dataframe(
+                    spans,
+                    resource_attrs_for=lambda _k: {
+                        "service.name": f"crawler-{lang}",
+                        "host.bucket": int(bucket),
+                    },
+                )
+                blob_z = zstd.compress(blob, asbytes=True)
+                if arms:
+                    gz = len(gzip.compress(blob, asbytes=True))
+                    # JSON marshal arm (the reference's JSONMarshaler
+                    # comparison, trace.go:95-105): OTLP-JSON-style hex ids
+                    json_view = spans.drop(
+                        columns=["attributes", "events", "links"]
+                    ).assign(
+                        trace_id=[t.hex() for t in spans["trace_id"]],
+                        span_id=[s.hex() for s in spans["span_id"]],
+                        parent_span_id=[p.hex() for p in
+                                        spans["parent_span_id"]],
+                        url=g["url"].to_numpy(),
+                    )
+                    js = json_view.to_json(orient="records").encode()
+                    jz = len(zstd.compress(js, asbytes=True))
+                else:
+                    gz, jz = -1, -1
+                out.append({
+                    "lang": lang,
+                    "host_bucket": int(bucket),
+                    "part_id": part_id,
+                    "n_spans": len(g),
+                    "min_doc_id": int(g["doc_id"].min()),
+                    "max_doc_id": int(g["doc_id"].max()),
+                    "raw_bytes": len(blob),
+                    "zstd_bytes": len(blob_z),
+                    "gzip_bytes": gz,
+                    "json_zstd_bytes": jz,
+                    "blob_sha256": hashlib.sha256(blob).hexdigest(),
+                    "blob": blob_z,
+                })
+            if out:
+                yield pd.DataFrame(out)
+
+    return fn
+
+
+def encode_stage(spans: DataFrame, n_salts: int = 16,
+                 arms: bool = True,
+                 shuffle_partitions: Optional[int] = None) -> DataFrame:
+    """Route-aligned repartition + vectorized encode.
+
+    The salt splits skewed (lang, host_bucket) groups across up to
+    ``n_salts`` tasks; each task still emits per-group blobs, so routing
+    purity is preserved while the mega host can't serialize the stage.
+    """
+    df = spans.withColumn("salt", salt_expr("url", n_salts))
+    if shuffle_partitions:
+        df = df.repartition(shuffle_partitions, "lang", "host_bucket", "salt")
+    else:
+        df = df.repartition("lang", "host_bucket", "salt")
+    return df.mapInPandas(_encode_batches(arms), schema=ENCODED_SCHEMA)
+
+
+def route_stage(encoded: DataFrame, out_dir: str) -> None:
+    """Fan-out sink: one partition dir per (lang, host_bucket) route.
+
+    Blob rows double as lineage records; a route is complete iff present.
+    At cluster scale this would be an Iceberg table (atomic snapshot commit);
+    the layout and semantics are identical.
+    """
+    (encoded.write.mode("append").partitionBy("lang", "host_bucket")
+     .parquet(f"{out_dir}/routed"))
+
+
+def read_routed(spark: SparkSession, out_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{out_dir}/routed")
+
+
+def completed_sinks(spark: SparkSession, out_dir: str) -> Optional[DataFrame]:
+    """Distinct (lang, host_bucket) routes already materialized, or None."""
+    try:
+        return read_routed(spark, out_dir).select(
+            "lang", "host_bucket").distinct()
+    except Exception:
+        return None
+
+
+def aggregate_stage(encoded_or_routed: DataFrame) -> DataFrame:
+    """Per-sink counts + compression-ratio metrics (the reference's
+    size-comparison artifacts, trace.go:49-181, as one aggregation)."""
+    return (
+        encoded_or_routed.groupBy("lang", "host_bucket")
+        .agg(
+            F.sum("n_spans").alias("pages"),
+            F.count("*").alias("blobs"),
+            F.sum("raw_bytes").alias("raw_bytes"),
+            F.sum("zstd_bytes").alias("zstd_bytes"),
+            F.sum("gzip_bytes").alias("gzip_bytes"),
+            F.sum("json_zstd_bytes").alias("json_zstd_bytes"),
+            (F.sum("zstd_bytes") / F.sum("json_zstd_bytes"))
+            .alias("zstd_vs_json_ratio"),
+        )
+        .orderBy("lang", "host_bucket")
+    )
+
+
+_ROUNDTRIP_SCHEMA = StructType([
+    StructField("url", StringType()),
+    StructField("lang", StringType()),
+    StructField("name", StringType()),
+    StructField("kind", LongType()),
+    StructField("start_ns", LongType()),
+    StructField("end_ns", LongType()),
+    StructField("status_code", LongType()),
+    StructField("n_chars", LongType()),
+])
+
+
+def roundtrip_check(encoded: DataFrame) -> DataFrame:
+    """Decode every blob back to span rows (for exceptAll equality tests)."""
+    model = trace_model()
+
+    def fn(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pyarrow as pa
+
+        zstd = pa.Codec("zstd")
+        for pdf in iterator:
+            rows = []
+            for blob_z, raw_len in zip(pdf["blob"], pdf["raw_bytes"]):
+                doc = decode_blob(
+                    zstd.decompress(bytes(blob_z),
+                                    decompressed_size=int(raw_len)),
+                    model,
+                )
+                for rs in doc.get("resourceSpans") or []:
+                    res_attrs = rs["resource"]["attributes"] or {}
+                    for ss in rs.get("scopeSpans") or []:
+                        for sp in ss.get("spans") or []:
+                            attrs = sp.get("attributes") or {}
+                            rows.append({
+                                "url": attrs.get("http.url"),
+                                "lang": attrs.get("lang"),
+                                "name": sp.get("name"),
+                                "kind": sp.get("kind"),
+                                "start_ns": sp.get("startTimeUnixNano"),
+                                "end_ns": sp.get("endTimeUnixNano"),
+                                "status_code": sp["status"].get("code"),
+                                "n_chars": attrs.get("n_chars"),
+                                "_svc": res_attrs.get("service.name"),
+                            })
+            if rows:
+                out = pd.DataFrame(rows)
+                yield out[[f.name for f in _ROUNDTRIP_SCHEMA.fields]]
+
+    return encoded.mapInPandas(fn, schema=_ROUNDTRIP_SCHEMA)
+
+
+def run_pipeline(
+    spark: SparkSession,
+    pages: DataFrame,
+    out_dir: str,
+    n_buckets: int = 8,
+    n_salts: int = 16,
+    arms: bool = True,
+    resume: bool = True,
+    use_pandas_udf_parse: bool = False,
+) -> DataFrame:
+    """End-to-end run; returns the per-sink aggregate DataFrame.
+
+    ``resume=True`` skips (lang, host_bucket) routes whose partition dirs
+    already exist — rerunning after a partial failure recomputes only the
+    missing routes (per-partition lineage = the blob rows themselves).
+    """
+    parsed = parse_stage(pages, use_pandas_udf=use_pandas_udf_parse)
+    enriched = enrich_stage(parsed, spark, n_buckets=n_buckets)
+    spans = span_stage(enriched)
+    if resume:
+        done = completed_sinks(spark, out_dir)
+        if done is not None:
+            spans = spans.join(F.broadcast(done), ["lang", "host_bucket"],
+                               "left_anti")
+    encoded = encode_stage(spans, n_salts=n_salts, arms=arms)
+    route_stage(encoded, out_dir)
+    return aggregate_stage(read_routed(spark, out_dir))

@@ -1,0 +1,156 @@
+"""Sources: testdata parquet loaders + deterministic synthetic pages tables.
+
+The input table shape is the authoritative one from BASELINE.json
+``input_hint``: ``pages(url string, warc_ts timestamp, html binary,
+text string, lang string)`` — Common-Crawl-style web pages.
+
+Two constructions:
+
+- :func:`pages_from_documents` derives pages deterministically from the
+  driver's ``documents.parquet`` with pure SQL-expressible column formulas,
+  so DuckDB oracles can reproduce every downstream result exactly.
+- :func:`synthetic_pages` generates pages of arbitrary row count from
+  ``spark.range`` with only JVM-side expressions (no data files, no Python) —
+  used by the benchmark to scale input independent of testdata size.
+
+At 100 TB the pages table would be an Iceberg/parquet scan instead; both
+constructions keep the same schema so every downstream stage is unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+#: epoch seconds of 2026-01-01T00:00:00Z — base of warc_ts
+WARC_TS_BASE = 1767225600
+
+# 200-word deterministic vocabulary for synthetic_pages text
+_VOCAB = [
+    f"w{i:03d}" for i in range(180)
+] + [
+    "the", "a", "data", "spark", "query", "table", "row", "scan", "fast",
+    "value", "key", "join", "sort", "hash", "batch", "stream", "agg",
+    "filter", "merge", "window",
+]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    for t in TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def host_expr(doc_id_col: str) -> F.Column:
+    """Zipf-ish host: ~30%% of rows land on one mega host (skew fixture)."""
+    c = F.col(doc_id_col)
+    return F.when(c % 10 < 3, F.lit("mega.example.com")).otherwise(
+        F.concat(F.lit("host"), (c % 47).cast("string"),
+                 F.lit(".example.com"))
+    )
+
+
+#: DuckDB-SQL twin of host_expr — keep in lockstep (oracle parity)
+HOST_SQL = (
+    "CASE WHEN {id} % 10 < 3 THEN 'mega.example.com' "
+    "ELSE 'host' || CAST({id} % 47 AS VARCHAR) || '.example.com' END"
+)
+
+
+def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pages(url, warc_ts, html, text, lang) derived from documents.parquet.
+
+    Every column is a pure function of (doc_id, text, lang) with a DuckDB-SQL
+    twin (see ``__spark_entry__.oracle_sql``), so oracle comparisons hold.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    host = host_expr("doc_id")
+    url = F.concat(F.lit("https://"), host, F.lit("/p"),
+                   F.col("doc_id").cast("string"))
+    html_str = F.concat(
+        F.lit("<html><head><title>T"), F.col("doc_id").cast("string"),
+        F.lit("</title></head><body><p>"), F.col("text"),
+        F.lit("</p></body></html>"),
+    )
+    return d.select(
+        url.alias("url"),
+        F.timestamp_seconds(
+            F.lit(WARC_TS_BASE) + F.col("doc_id") * 37
+        ).alias("warc_ts"),
+        F.encode(html_str, "UTF-8").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+        F.col("doc_id"),  # kept for lineage/oracle joins; dropped by stages
+    )
+
+
+def synthetic_pages(spark: SparkSession, n_rows: int,
+                    partitions: int | None = None) -> DataFrame:
+    """Deterministic pages table of any size, pure spark.range + JVM exprs.
+
+    text_i = 3-40 words drawn from a fixed 200-word vocabulary by a hash of
+    (i, position); ~5% of rows get empty text (null-coercion fixture,
+    FIXTURES.md F1). No Python runs per row.
+    """
+    df = spark.range(0, n_rows, 1, partitions or spark.sparkContext.defaultParallelism)
+    c = F.col("id")
+    vocab = F.array(*[F.lit(w) for w in _VOCAB])
+    n_words = (F.pmod(c * 2654435761, 38) + 3).cast("int")
+    words = F.transform(
+        F.sequence(F.lit(1), n_words),
+        lambda j: F.element_at(vocab, (F.pmod(c * 31 + j * 7, 200) + 1).cast("int")),
+    )
+    text = F.when(c % 20 == 19, F.lit("")).otherwise(
+        F.concat_ws(" ", words))
+    lang = (
+        F.when(F.pmod(c * 40503, 100) < 50, "en")
+        .when(F.pmod(c * 40503, 100) < 70, "zh")
+        .when(F.pmod(c * 40503, 100) < 80, "de")
+        .when(F.pmod(c * 40503, 100) < 90, "fr")
+        .when(F.pmod(c * 40503, 100) < 95, "es")
+        .otherwise("unknown")
+    )
+    host = host_expr("id")
+    html_str = F.concat(
+        F.lit("<html><head><title>T"), c.cast("string"),
+        F.lit("</title></head><body><p>"), text,
+        F.lit("</p></body></html>"),
+    )
+    return df.select(
+        F.concat(F.lit("https://"), host, F.lit("/p"),
+                 c.cast("string")).alias("url"),
+        F.timestamp_seconds(F.lit(WARC_TS_BASE) + c * 37).alias("warc_ts"),
+        F.encode(html_str, "UTF-8").alias("html"),
+        text.alias("text"),
+        lang.alias("lang"),
+        c.alias("doc_id"),
+    )
+
+
+LANG_ROWS = [
+    ("en", "English", "Latn"),
+    ("zh", "Chinese", "Hans"),
+    ("de", "German", "Latn"),
+    ("fr", "French", "Latn"),
+    ("es", "Spanish", "Latn"),
+]
+
+#: DuckDB twin of lang_lookup (inline VALUES) — keep in lockstep
+LANG_LOOKUP_SQL = (
+    "(VALUES ('en','English','Latn'),('zh','Chinese','Hans'),"
+    "('de','German','Latn'),('fr','French','Latn'),"
+    "('es','Spanish','Latn')) AS lang_lookup(lang, lang_name, script)"
+)
+
+
+def lang_lookup(spark: SparkSession) -> DataFrame:
+    """FIXTURES.md F2 broadcast enrich dim (5 rows — always broadcast)."""
+    return spark.createDataFrame(LANG_ROWS, ["lang", "lang_name", "script"])

@@ -1,0 +1,158 @@
+"""End-to-end Spark tests for the flagship pipeline (FIXTURES.md F5)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from compress_otel_collector_spark.plans.pipeline import (
+    aggregate_stage,
+    encode_stage,
+    enrich_stage,
+    parse_stage,
+    read_routed,
+    roundtrip_check,
+    run_pipeline,
+    span_stage,
+)
+from compress_otel_collector_spark.sources.tables import (
+    pages_from_documents,
+    synthetic_pages,
+)
+
+
+@pytest.fixture(scope="module")
+def pages(spark, sf_dir):
+    return pages_from_documents(spark, sf_dir).cache()
+
+
+class TestParse:
+    def test_byte_identical_extraction(self, pages):
+        parsed = parse_stage(pages)
+        bad = parsed.where(F.col("text_extracted") != F.col("text")).count()
+        assert bad == 0
+        assert parsed.count() == pages.count()
+
+    def test_pandas_udf_parity(self, pages):
+        native = parse_stage(pages, use_pandas_udf=False)
+        arrow = parse_stage(pages, use_pandas_udf=True)
+        diff = (
+            native.select("doc_id", "text_extracted")
+            .exceptAll(arrow.select("doc_id", "text_extracted"))
+            .count()
+        )
+        assert diff == 0
+
+    def test_synthetic_pages_parse(self, spark):
+        sp = synthetic_pages(spark, 500, partitions=4)
+        parsed = parse_stage(sp)
+        assert parsed.where(
+            F.col("text_extracted") != F.col("text")).count() == 0
+        # ~5% empty-text rows exist (null-coercion fixture)
+        empties = parsed.where(F.col("text") == "").count()
+        assert 10 <= empties <= 40
+
+
+class TestEnrich:
+    def test_broadcast_join_and_buckets(self, spark, pages):
+        enriched = enrich_stage(parse_stage(pages), spark)
+        assert enriched.where(F.col("lang") == "en").select(
+            "lang_name").distinct().collect()[0][0] == "English"
+        buckets = [r[0] for r in
+                   enriched.select("host_bucket").distinct().collect()]
+        assert all(0 <= b < 8 for b in buckets)
+        plan = enriched._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+
+    def test_unknown_lang_keeps_nulls(self, spark):
+        sp = synthetic_pages(spark, 200)
+        enriched = enrich_stage(parse_stage(sp), spark)
+        unknown = enriched.where(F.col("lang") == "unknown")
+        assert unknown.count() > 0
+        assert unknown.where(F.col("lang_name").isNotNull()).count() == 0
+
+
+class TestEncodeRoute:
+    @pytest.fixture(scope="class")
+    def encoded(self, spark, pages):
+        spans = span_stage(enrich_stage(parse_stage(pages), spark))
+        return encode_stage(spans, n_salts=4).cache()
+
+    def test_span_counts_preserved(self, pages, encoded):
+        assert (
+            encoded.agg(F.sum("n_spans")).collect()[0][0] == pages.count()
+        )
+
+    def test_compression_arms(self, encoded):
+        row = encoded.agg(
+            F.sum("zstd_bytes").alias("z"),
+            F.sum("json_zstd_bytes").alias("j"),
+            F.sum("raw_bytes").alias("r"),
+            F.sum("n_spans").alias("n"),
+            F.count("*").alias("blobs"),
+        ).collect()[0]
+        # The dictionary codec's uncompressed blob must be far smaller than
+        # raw JSON would be (~4x measured); after zstd the two converge
+        # because random md5-derived ids set the entropy floor on this data
+        # shape — pin a sanity band rather than a false "always beats" claim
+        # (the bench reports the true ratio against BASELINE.md).
+        assert row["z"] < row["r"]                 # zstd helps the blob
+        assert row["z"] < row["j"] * 1.6           # same order as JSON+zstd
+        # ≈100 B/span marginal cost + ≈2 kB fixed meta (pool-id paths) per blob
+        assert row["r"] < row["n"] * 150 + row["blobs"] * 2000
+
+    def test_roundtrip_equality(self, spark, pages, encoded):
+        decoded = roundtrip_check(encoded)
+        spans = span_stage(enrich_stage(parse_stage(pages), spark))
+        # expected = post-null-coercion view of the synthesized spans
+        expected = spans.select(
+            "url", "lang", "name",
+            F.when(F.col("kind") == 0, None).otherwise(F.col("kind"))
+            .alias("kind"),
+            "start_ns", "end_ns", "status_code", "n_chars",
+        )
+        cols = decoded.columns
+        assert decoded.select(cols).exceptAll(expected.select(cols)).count() == 0
+        assert expected.select(cols).exceptAll(decoded.select(cols)).count() == 0
+
+    def test_blob_is_decodable_magic(self, encoded):
+        import pyarrow as pa
+
+        row = encoded.select("blob", "raw_bytes").first()
+        blob = pa.Codec("zstd").decompress(
+            bytes(row["blob"]), decompressed_size=int(row["raw_bytes"]))
+        assert b"cprval" in bytes(blob)
+
+
+class TestRunResume:
+    def test_run_and_resume(self, spark, pages, tmp_path):
+        out = str(tmp_path / "out")
+        agg1 = run_pipeline(spark, pages, out, arms=False).cache()
+        total1 = agg1.agg(F.sum("pages")).collect()[0][0]
+        assert total1 == pages.count()
+
+        # re-run: everything complete → nothing recomputed, counts unchanged
+        agg2 = run_pipeline(spark, pages, out, arms=False)
+        assert agg2.agg(F.sum("pages")).collect()[0][0] == total1
+
+        # invalidate one route (delete its partition dir) → only it recomputed
+        import shutil
+        from pathlib import Path
+
+        routed = Path(out) / "routed"
+        victim = sorted(routed.glob("lang=en/host_bucket=*"))[0]
+        shutil.rmtree(victim)
+        before = read_routed(spark, out).count()
+        agg3 = run_pipeline(spark, pages, out, arms=False)
+        assert agg3.agg(F.sum("pages")).collect()[0][0] == total1
+        after = read_routed(spark, out).count()
+        assert after > before  # victim partition re-materialized
+
+    def test_sink_counts_match_input_groups(self, spark, pages, tmp_path):
+        out = str(tmp_path / "out2")
+        agg = run_pipeline(spark, pages, out, arms=False)
+        expected = (
+            span_stage(enrich_stage(parse_stage(pages), spark))
+            .groupBy("lang", "host_bucket").count()
+        )
+        got = agg.select("lang", "host_bucket", F.col("pages").alias("count"))
+        assert got.exceptAll(expected).count() == 0
+        assert expected.exceptAll(got).count() == 0
