@@ -1,38 +1,553 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship parse → enrich → encode → aggregate
+pipeline on sf0.001. ``queries()`` exposes every implemented operator from
+SURVEY.md §2 (+ the training-data operators) as (spark, sf_dir) callables;
+``oracle_sql()`` holds the DuckDB twin for each SQL-expressible one. Column
+names and value rounding are kept in lockstep between the two sides.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from compress_otel_collector_spark.operators import (
+    cosine_topk,
+    exact_dedup,
+    extract_features,
+    fingerprint,
+    lang_id,
+    lsh_cosine_topk,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    quality_score,
+    simhash,
+    synthesize_media,
+    token_stats,
+)
+from compress_otel_collector_spark.plans.pipeline import (
+    aggregate_stage,
+    encode_stage,
+    enrich_stage,
+    parse_stage,
+    roundtrip_check,
+    span_stage,
+)
+from compress_otel_collector_spark.sources.tables import (
+    LANG_LOOKUP_SQL,
+    lang_lookup,
+    load_table,
+    pages_from_documents,
+)
+
+_HTML_SQL = (
+    "'<html><head><title>T' || CAST(doc_id AS VARCHAR) || "
+    "'</title></head><body><p>' || text || '</p></body></html>'"
+)
+
+_TOKS_CTE = (
+    "WITH toks AS (SELECT doc_id, "
+    "list_filter(string_split(text,' '), t -> t <> '') AS t FROM documents)"
+)
+
+_SHINGLES_CTE = _TOKS_CTE + (
+    ", sh AS (SELECT DISTINCT * FROM ("
+    "SELECT doc_id, unnest(list_transform(range(1, len(t)-1), "
+    "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle "
+    "FROM toks WHERE len(t) >= 3))"
+)
+
+_HEX_HI = "('8','9','a','b','c','d','e','f')"
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    pages = pages_from_documents(spark, "/root/testdata/sf0.001")
+    spans = span_stage(enrich_stage(parse_stage(pages), spark))
+    encoded = encode_stage(spans, n_salts=4, arms=True)
+    return aggregate_stage(encoded)
+
+
+# ---------------------------------------------------------------------------
+# SQL-expressible queries (each has an oracle below)
+# ---------------------------------------------------------------------------
+
+def _q_parse_extract(spark, sf_dir):
+    parsed = parse_stage(pages_from_documents(spark, sf_dir))
+    return parsed.select(
+        "doc_id",
+        F.col("text_extracted").alias("extracted"),
+        (F.col("text_extracted") == F.col("text")).alias("ok"),
+    )
+
+
+def _q_route_counts(spark, sf_dir):
+    pages = pages_from_documents(spark, sf_dir)
+    return (
+        pages.groupBy(
+            "lang", F.pmod(F.col("doc_id"), 8).cast("int").alias("bucket"))
+        .agg(F.count("*").alias("n_pages"))
+    )
+
+
+def _q_enrich_lookup(spark, sf_dir):
+    pages = pages_from_documents(spark, sf_dir)
+    return (
+        pages.join(F.broadcast(lang_lookup(spark)), "lang", "left")
+        .groupBy(F.coalesce("lang_name", F.lit("unmatched"))
+                 .alias("lang_name"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _q_warc_hour(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 3600000000)
+            .cast("long").alias("hour_bucket"))
+        .agg(F.count("*").alias("n"),
+             F.round(F.avg("value"), 4).alias("avg_value"))
+    )
+
+
+def _q_null_normalization(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return d.agg(
+        F.count("*").alias("total"),
+        F.sum(F.when(F.col("text") == "", 1).otherwise(0))
+        .cast("long").alias("empty_text"),
+        F.sum(F.when(F.col("n_chars") == 0, 1).otherwise(0))
+        .cast("long").alias("zero_nchars"),
+        F.count(F.nullif(F.col("text"), F.lit(""))).alias("non_null_text"),
+    )
+
+
+def _q_dict_build(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("event_type").agg(
+        F.min("event_id").alias("first_seen"))
+    w = Window.orderBy("first_seen")
+    return first_seen.select(
+        "event_type",
+        (F.row_number().over(w) - 1).cast("int").alias("pool_index"),
+    )
+
+
+def _q_shared_pool_union(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"))
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"))
+    return o.union(c).distinct().agg(F.count("*").alias("pool_size"))
+
+
+def _q_diff_encode_lag(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id", "event_id",
+        F.round(F.col("value") - F.lag("value", 1).over(w), 4).alias("delta"),
+    )
+
+
+def _q_topk_sources(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy("source").agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("source"))
+        .limit(10)
+    )
+
+
+def _q_tpch_q1(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice")
+                          * (1 - F.col("l_discount"))), 2)
+            .alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def _q_revenue_by_nation(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice")
+                          * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+def _q_dedup_exact(spark, sf_dir):
+    return exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+def _q_dedup_ngram_jaccard(spark, sf_dir):
+    return ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.12)
+
+
+def _q_dedup_minhash_lsh(spark, sf_dir):
+    return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def _q_dedup_simhash(spark, sf_dir):
+    return simhash(load_table(spark, sf_dir, "documents"))
+
+
+def _q_embedding_topk(spark, sf_dir):
+    return cosine_topk(load_table(spark, sf_dir, "embeddings"),
+                       k=5, n_queries=20)
+
+
+def _q_lang_id(spark, sf_dir):
+    return lang_id(load_table(spark, sf_dir, "documents"))
+
+
+def _q_quality_score(spark, sf_dir):
+    return quality_score(load_table(spark, sf_dir, "documents"))
+
+
+def _q_token_count(spark, sf_dir):
+    return token_stats(load_table(spark, sf_dir, "documents"))
+
+
+def _q_fingerprint(spark, sf_dir):
+    return fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Non-SQL-expressible queries (driver runs rows-only checks)
+# ---------------------------------------------------------------------------
+
+def _q_codec_roundtrip(spark, sf_dir):
+    """Encode + decode the whole pages table; mismatches must be 0."""
+    pages = pages_from_documents(spark, sf_dir)
+    spans = span_stage(enrich_stage(parse_stage(pages), spark))
+    encoded = encode_stage(spans, n_salts=4, arms=False)
+    decoded = roundtrip_check(encoded)
+    expected = spans.select(
+        "url", "lang", "name",
+        F.when(F.col("kind") == 0, None).otherwise(F.col("kind"))
+        .alias("kind"),
+        "start_ns", "end_ns", "status_code", "n_chars",
+    )
+    cols = decoded.columns
+    missing = expected.select(cols).exceptAll(decoded.select(cols)).count()
+    extra = decoded.select(cols).exceptAll(expected.select(cols)).count()
+    return spark.createDataFrame(
+        [(decoded.count(), missing, extra)],
+        "decoded_spans long, missing long, extra long",
+    )
+
+
+def _q_pipeline_sinks(spark, sf_dir):
+    pages = pages_from_documents(spark, sf_dir)
+    spans = span_stage(enrich_stage(parse_stage(pages), spark))
+    return aggregate_stage(encode_stage(spans, n_salts=4, arms=True))
+
+
+def _q_lsh_similarity(spark, sf_dir):
+    return lsh_cosine_topk(load_table(spark, sf_dir, "embeddings"),
+                           k=5, n_queries=20, n_planes=6)
+
+
+def _q_multimodal_features(spark, sf_dir):
+    media = synthesize_media(load_table(spark, sf_dir, "documents"))
+    feats = extract_features(media)
+    return (
+        feats.groupBy("kind")
+        .agg(F.count("*").alias("n"),
+             F.sum("n_bytes").alias("total_bytes"),
+             F.round(F.avg(F.element_at("feature", 1)), 4)
+             .alias("avg_f0"))
+        .orderBy("kind")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # pipeline stages (SURVEY §2.1-§2.2)
+        "parse_extract": _q_parse_extract,
+        "route_counts": _q_route_counts,
+        "enrich_lookup": _q_enrich_lookup,
+        "warc_hour": _q_warc_hour,
+        "null_normalization": _q_null_normalization,
+        "dict_build": _q_dict_build,
+        "shared_pool_union": _q_shared_pool_union,
+        "diff_encode_lag": _q_diff_encode_lag,
+        "topk_sources": _q_topk_sources,
+        # relational coverage
+        "tpch_q1": _q_tpch_q1,
+        "revenue_by_nation": _q_revenue_by_nation,
+        # training-data operators
+        "dedup_exact": _q_dedup_exact,
+        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": _q_dedup_minhash_lsh,
+        "dedup_simhash": _q_dedup_simhash,
+        "embedding_topk": _q_embedding_topk,
+        "lang_id": _q_lang_id,
+        "quality_score": _q_quality_score,
+        "token_count": _q_token_count,
+        "fingerprint": _q_fingerprint,
+        # non-SQL-expressible (rows-only checks)
+        "codec_roundtrip": _q_codec_roundtrip,
+        "pipeline_sinks": _q_pipeline_sinks,
+        "lsh_similarity": _q_lsh_similarity,
+        "multimodal_features": _q_multimodal_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+def _simhash_sql(bits: int = 16) -> str:
+    sums = ", ".join(
+        f"CAST(SUM(CASE WHEN substr(h, {i + 1}, 1) IN {_HEX_HI} "
+        f"THEN 1 ELSE -1 END) AS BIGINT) AS s{i}"
+        for i in range(bits)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN s{i} > 0 THEN 1 ELSE 0 END) * {2 ** i}"
+        for i in range(bits)
+    )
+    return (
+        _TOKS_CTE
+        + ", tok AS (SELECT doc_id, unnest(t) AS token FROM toks)"
+        + ", bits AS (SELECT doc_id, md5(token) AS h FROM tok)"
+        + f", sums AS (SELECT doc_id, {sums} FROM bits GROUP BY doc_id) "
+        + f"SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM sums"
+    )
+
+
+def _minhash_sql(num_hashes: int = 8, bands: int = 2) -> str:
+    r = num_hashes // bands
+    sigs = ", ".join(
+        f"min(md5(shingle || '#{s}')) AS sig{s}" for s in range(num_hashes)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, '{b}=' || {expr} AS bucket FROM sig".format(
+            b=b,
+            expr=" || '|' || ".join(
+                f"sig{b * r + i}" for i in range(r)),
+        )
+        for b in range(bands)
+    )
+    return (
+        _SHINGLES_CTE
+        + f", sig AS (SELECT doc_id, {sigs} FROM sh GROUP BY doc_id)"
+        + f", banded AS ({band_selects}) "
+        + "SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id "
+        + "FROM banded a JOIN banded b "
+        + "ON a.bucket = b.bucket AND a.doc_id < b.doc_id"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "parse_extract": f"""
+            SELECT doc_id,
+                   regexp_extract({_HTML_SQL}, '(?s)<p>(.*?)</p>', 1)
+                       AS extracted,
+                   regexp_extract({_HTML_SQL}, '(?s)<p>(.*?)</p>', 1) = text
+                       AS ok
+            FROM documents
+        """,
+        "route_counts": """
+            SELECT lang, CAST(doc_id % 8 AS INT) AS bucket,
+                   count(*) AS n_pages
+            FROM documents GROUP BY 1, 2
+        """,
+        "enrich_lookup": f"""
+            SELECT coalesce(lang_name, 'unmatched') AS lang_name,
+                   count(*) AS n
+            FROM documents LEFT JOIN {LANG_LOOKUP_SQL} USING (lang)
+            GROUP BY 1
+        """,
+        "warc_hour": """
+            SELECT CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT)
+                       AS hour_bucket,
+                   count(*) AS n,
+                   round(avg(value), 4) AS avg_value
+            FROM events GROUP BY 1
+        """,
+        "null_normalization": """
+            SELECT count(*) AS total,
+                   CAST(SUM(CASE WHEN text = '' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS empty_text,
+                   CAST(SUM(CASE WHEN n_chars = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS zero_nchars,
+                   count(nullif(text, '')) AS non_null_text
+            FROM documents
+        """,
+        "dict_build": """
+            SELECT event_type,
+                   CAST(row_number() OVER (ORDER BY first_seen) - 1 AS INT)
+                       AS pool_index
+            FROM (SELECT event_type, min(event_id) AS first_seen
+                  FROM events GROUP BY 1)
+        """,
+        "shared_pool_union": """
+            SELECT count(*) AS pool_size FROM (
+                SELECT o_custkey AS k FROM orders
+                UNION SELECT c_custkey FROM customer)
+        """,
+        "diff_encode_lag": """
+            SELECT user_id, event_id,
+                   round(value - lag(value, 1) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id), 4)
+                       AS delta
+            FROM events
+        """,
+        "topk_sources": """
+            SELECT source, count(*) AS n FROM documents
+            GROUP BY 1 ORDER BY n DESC, source LIMIT 10
+        """,
+        "tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS sum_disc_price,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   round(avg(l_discount), 4) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "revenue_by_nation": """
+            SELECT r_name, n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS revenue,
+                   count(*) AS n_lineitems
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name, n_name ORDER BY r_name, n_name
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS text_hash,
+                   min(doc_id) AS keep_id,
+                   count(*) AS dup_count
+            FROM documents GROUP BY 1
+        """,
+        "dedup_ngram_jaccard": _SHINGLES_CTE + """
+            , sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1)
+            , common AS (
+                SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                       count(*) AS common
+                FROM sh a JOIN sh b
+                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+            SELECT a_id, b_id,
+                   round(common / (sa.n_sh + sb.n_sh - common), 4) AS jaccard
+            FROM common
+            JOIN sizes sa ON sa.doc_id = a_id
+            JOIN sizes sb ON sb.doc_id = b_id
+            WHERE round(common / (sa.n_sh + sb.n_sh - common), 4) >= 0.12
+        """,
+        "dedup_minhash_lsh": _minhash_sql(),
+        "dedup_simhash": _simhash_sql(),
+        "embedding_topk": """
+            WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS vq
+                       FROM embeddings WHERE vec_id < 20),
+                 c AS (SELECT vec_id AS n_id, embedding::DOUBLE[] AS vn
+                       FROM embeddings),
+                 j AS (SELECT q_id, n_id,
+                              list_dot_product(vq, vn) /
+                              (sqrt(list_dot_product(vq, vq))
+                               * sqrt(list_dot_product(vn, vn)))
+                                  AS cos_exact
+                       FROM q, c WHERE q_id <> n_id),
+                 r AS (SELECT q_id, n_id, cos_exact,
+                              row_number() OVER (
+                                  PARTITION BY q_id
+                                  ORDER BY cos_exact DESC, n_id) AS rank
+                       FROM j)
+            SELECT q_id, n_id, CAST(rank AS INT) AS rank,
+                   round(cos_exact, 4) AS cos
+            FROM r WHERE rank <= 5
+        """,
+        "lang_id": _TOKS_CTE + """
+            SELECT doc_id,
+                   CASE WHEN len(t) > 0 THEN round(
+                       len(list_filter(t, x -> x IN
+                           ('the','a','of','and','to'))) * 1.0 / len(t), 4)
+                   ELSE 0.0 END AS stopword_ratio,
+                   CASE WHEN (CASE WHEN len(t) > 0 THEN round(
+                       len(list_filter(t, x -> x IN
+                           ('the','a','of','and','to'))) * 1.0 / len(t), 4)
+                   ELSE 0.0 END) >= 0.05 THEN 'en' ELSE 'other' END
+                       AS lang_guess
+            FROM toks
+        """,
+        "quality_score": _TOKS_CTE + """
+            , m AS (SELECT doc_id,
+                        len(t) AS n_tokens,
+                        len(t) * 1.0 AS n,
+                        length(
+                            (SELECT text FROM documents d2
+                             WHERE d2.doc_id = toks.doc_id)) * 1.0
+                            AS n_chars,
+                        len(list_filter(t, x -> x IN
+                            ('the','a','of','and','to'))) * 1.0 AS stops
+                    FROM toks)
+            SELECT doc_id,
+                   CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CASE WHEN n > 0 THEN round((n_chars - (n - 1)) / n, 4)
+                        ELSE 0.0 END AS mean_token_len,
+                   CASE WHEN n > 0 THEN round(stops / n, 4)
+                        ELSE 0.0 END AS stopword_ratio,
+                   round(
+                       (CASE WHEN n >= 20 AND n <= 5000 THEN 0.5
+                             WHEN n > 0 THEN 0.2 ELSE 0.0 END)
+                       + least((CASE WHEN n > 0 THEN stops / n
+                                     ELSE 0.0 END) * 2, 0.3)
+                       + (CASE WHEN n > 0
+                               AND (n_chars - (n - 1)) / n >= 3
+                               AND (n_chars - (n - 1)) / n <= 10
+                          THEN 0.2 ELSE 0.0 END), 4) AS quality
+            FROM m
+        """,
+        "token_count": _TOKS_CTE + """
+            SELECT doc_id,
+                   CAST(len(t) AS BIGINT) AS ws_tokens,
+                   CAST(coalesce(list_sum(list_transform(t,
+                        x -> CAST(ceil(length(x) / 4.0) AS BIGINT))), 0)
+                        AS BIGINT) AS bpe_ish_tokens,
+                   CAST(length(
+                       (SELECT text FROM documents d2
+                        WHERE d2.doc_id = toks.doc_id)) AS BIGINT) AS n_chars
+            FROM toks
+        """,
+        "fingerprint": """
+            SELECT doc_id, substr(md5(text), 1, 16) AS fingerprint
+            FROM documents
+        """,
+    }

@@ -1,0 +1,27 @@
+from .dedup import (  # noqa: F401
+    dedup_keep_first,
+    embedding_dup_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_dup_groups,
+    word_shingles,
+)
+from .similarity import (  # noqa: F401
+    cosine_pairs,
+    cosine_topk,
+    lsh_cosine_topk,
+    lsh_signatures,
+)
+from .textstats import (  # noqa: F401
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_stats,
+)
+from .multimodal import (  # noqa: F401
+    extract_features,
+    synthesize_media,
+)

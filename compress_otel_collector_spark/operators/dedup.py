@@ -1,0 +1,203 @@
+"""Deduplication operators over the ``documents`` table.
+
+Each operator is a pure ``DataFrame -> DataFrame`` function built from
+JVM-side expressions only (no Python UDFs), with a DuckDB-SQL oracle twin in
+``__spark_entry__.oracle_sql``. Hash functions are md5-based because md5 is
+bit-identical across Spark and DuckDB — that is what makes the oracles exact.
+
+Scale notes (the 100 TB story):
+
+- exact: one hash-aggregate shuffle on the text digest — optimal.
+- n-gram Jaccard: the all-pairs shingle self-join is quadratic in duplicate
+  cluster size; it is the *verifier*, not the candidate generator, at scale.
+- MinHash+LSH: the scale path — signatures are one narrow pass; the only
+  shuffle is groupBy(band, bucket), and candidate verification touches just
+  bucket-mates. Band/row parameters trade recall vs candidate volume.
+- SimHash: one narrow pass producing a 16-bit fingerprint; near-dup pairs =
+  equal or small-hamming fingerprints (bucket join on the fingerprint).
+- embedding cosine: see ``similarity.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup by content digest: keep the smallest id per group."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").alias("dup_count"),
+        )
+    )
+
+
+def word_shingles(df: DataFrame, n: int = 3, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Distinct word n-gram shingles per document (empty texts drop out)."""
+    toks = F.split(F.col(text_col), " ")
+    shingle = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j + 1).cast("int"))
+                   for j in range(n)]
+        ),
+    )
+    return (
+        df.where(F.size(toks) >= n)
+        .select(F.col(id_col).alias("doc_id"),
+                F.explode(shingle).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.5,
+                        n: int = 3) -> DataFrame:
+    """All-pairs n-gram Jaccard ≥ threshold (a_id < b_id).
+
+    Exact but quadratic in cluster size — at scale, run on LSH candidates.
+    """
+    sh = word_shingles(df, n=n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    common = (
+        sh.alias("a").join(sh.alias("b"),
+                           (F.col("a.shingle") == F.col("b.shingle"))
+                           & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("a_id"),
+                 F.col("b.doc_id").alias("b_id"))
+        .agg(F.count("*").alias("common"))
+    )
+    return (
+        common
+        .join(sizes.withColumnRenamed("doc_id", "a_id")
+              .withColumnRenamed("n_sh", "na"), "a_id")
+        .join(sizes.withColumnRenamed("doc_id", "b_id")
+              .withColumnRenamed("n_sh", "nb"), "b_id")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("common")
+                    / (F.col("na") + F.col("nb") - F.col("common")), 4),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "jaccard")
+    )
+
+
+def _minhash_sig(seed: int) -> Column:
+    """One MinHash component: lexicographic min of md5(shingle ⊕ seed).
+
+    md5 hex min is a valid min-wise hash and is engine-portable (the DuckDB
+    oracle computes the identical string).
+    """
+    return F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{seed}"))))
+
+
+def minhash_signatures(df: DataFrame, num_hashes: int = 8,
+                       n: int = 3) -> DataFrame:
+    """doc_id → minhash signature columns sig0..sig{num_hashes-1}."""
+    sh = word_shingles(df, n=n)
+    return sh.groupBy("doc_id").agg(
+        *[_minhash_sig(s).alias(f"sig{s}") for s in range(num_hashes)]
+    )
+
+
+def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 8, bands: int = 2,
+                      n: int = 3) -> DataFrame:
+    """LSH candidate pairs: docs sharing any band of minhash components.
+
+    rows-per-band = num_hashes/bands; a pair collides on a band iff all its
+    components match — the classic banding scheme (prob ≈ 1-(1-j^r)^b).
+    """
+    sigs = minhash_signatures(df, num_hashes=num_hashes, n=n)
+    r = num_hashes // bands
+    band_cols = [
+        F.concat_ws("|", *[F.col(f"sig{b * r + i}") for i in range(r)])
+        .alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = sigs.select("doc_id", *band_cols)
+    stacked = banded.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.concat_ws("=", F.lit(str(b)), F.col(f"band{b}"))
+                for b in range(bands)
+            ])
+        ).alias("bucket"),
+    )
+    return (
+        stacked.alias("a")
+        .join(stacked.alias("b"),
+              (F.col("a.bucket") == F.col("b.bucket"))
+              & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("a_id"),
+                F.col("b.doc_id").alias("b_id"))
+        .distinct()
+    )
+
+
+def simhash(df: DataFrame, bits: int = 16, text_col: str = "text",
+            id_col: str = "doc_id") -> DataFrame:
+    """16-bit SimHash from token md5s (engine-portable bit derivation).
+
+    bit_i of a token = parity class of hex digit i of md5(token); the
+    fingerprint bit is the sign of the token-weighted sum. One narrow pass;
+    near-dups share fingerprints (or land within small hamming distance).
+    """
+    tok = F.explode(F.split(F.col(text_col), " ")).alias("token")
+    toks = df.select(F.col(id_col).alias("doc_id"), tok).where(
+        F.col("token") != "")
+    h = F.md5(F.col("token"))
+    contribs = [
+        (F.when(
+            F.substring(h, i + 1, 1).isin(*list("89abcdef")), 1
+        ).otherwise(-1)).alias(f"c{i}")
+        for i in range(bits)
+    ]
+    per_tok = toks.select("doc_id", *contribs)
+    agg = per_tok.groupBy("doc_id").agg(
+        *[F.sum(f"c{i}").alias(f"s{i}") for i in range(bits)]
+    )
+    fingerprint = sum(
+        (F.when(F.col(f"s{i}") > 0, 1).otherwise(0)
+         * F.lit(2 ** i)).cast("long")
+        for i in range(bits)
+    )
+    return agg.select("doc_id", fingerprint.alias("simhash"))
+
+
+def simhash_dup_groups(df: DataFrame, bits: int = 16) -> DataFrame:
+    """Documents sharing a SimHash fingerprint (candidate near-dup groups)."""
+    s = simhash(df, bits=bits)
+    return (
+        s.groupBy("simhash")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_id"))
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def embedding_dup_pairs(embeddings: DataFrame,
+                        threshold: float = 0.95) -> DataFrame:
+    """Near-dup pairs by embedding cosine ≥ threshold (brute-force exact)."""
+    from .similarity import cosine_pairs
+
+    return (
+        cosine_pairs(embeddings)
+        .where(F.col("cos") >= threshold)
+        .select(F.col("a_id"), F.col("b_id"), F.col("cos"))
+    )
+
+
+def dedup_keep_first(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Materialized exact dedup: the surviving rows themselves."""
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )

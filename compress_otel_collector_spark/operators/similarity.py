@@ -1,0 +1,156 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+- :func:`cosine_pairs` / :func:`cosine_topk`: brute-force exact baseline,
+  pure JVM expressions (``zip_with`` + ``aggregate`` fold — no Python).
+- :func:`lsh_cosine_topk`: the scale path — deterministic random-hyperplane
+  LSH buckets shrink the candidate set from O(N²) to bucket-mates, then the
+  exact cosine ranks candidates. At 100 TB: signatures are one narrow pass;
+  the bucket join shuffles only same-bucket pairs; recall is tunable via
+  number of hyperplanes / probing multiple tables.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0),
+                    lambda acc, x: acc + x)
+    )
+
+
+def with_unit_norm(embeddings: DataFrame, vec_col: str = "embedding",
+                   id_col: str = "vec_id") -> DataFrame:
+    v = F.col(vec_col).cast("array<double>")
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        v.alias("vec"),
+        _norm(v).alias("norm"),
+    )
+
+
+def cosine_pairs(embeddings: DataFrame, vec_col: str = "embedding",
+                 id_col: str = "vec_id") -> DataFrame:
+    """All pairs (a_id < b_id) with cosine similarity (rounded to 4dp)."""
+    e = with_unit_norm(embeddings, vec_col, id_col)
+    a = e.select(F.col("vec_id").alias("a_id"), F.col("vec").alias("va"),
+                 F.col("norm").alias("na"))
+    b = e.select(F.col("vec_id").alias("b_id"), F.col("vec").alias("vb"),
+                 F.col("norm").alias("nb"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("a_id") < F.col("b_id"))
+        .select(
+            "a_id", "b_id",
+            F.round(_dot(F.col("va"), F.col("vb"))
+                    / (F.col("na") * F.col("nb")), 4).alias("cos"),
+        )
+    )
+
+
+def cosine_topk(embeddings: DataFrame, k: int = 5,
+                n_queries: int = 20, vec_col: str = "embedding",
+                id_col: str = "vec_id") -> DataFrame:
+    """Exact top-k neighbors for the first ``n_queries`` ids (self excluded).
+
+    Brute force O(Q·N) — the correctness baseline. The query side is tiny so
+    Spark broadcasts it; the candidate side streams with no shuffle until the
+    final per-query top-k (a windowed rank over Q·N rows).
+    """
+    e = with_unit_norm(embeddings, vec_col, id_col)
+    q = e.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("vec").alias("vq"),
+        F.col("norm").alias("nq"))
+    joined = (
+        F.broadcast(q).crossJoin(
+            e.select(F.col("vec_id").alias("n_id"), F.col("vec").alias("vn"),
+                     F.col("norm").alias("nn")))
+        .where(F.col("q_id") != F.col("n_id"))
+        .select(
+            "q_id", "n_id",
+            (_dot(F.col("vq"), F.col("vn"))
+             / (F.col("nq") * F.col("nn"))).alias("cos_exact"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos_exact").desc(), F.col("n_id").asc())
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "n_id", F.col("rank").cast("int").alias("rank"),
+                F.round("cos_exact", 4).alias("cos"))
+    )
+
+
+def _hyperplane(dim: int, plane: int) -> list[float]:
+    """Deterministic pseudo-random unit hyperplane (pure function of
+    (plane, coordinate) — no RNG state, reproducible across executors)."""
+    vals = []
+    for j in range(dim):
+        # golden-ratio low-discrepancy stream mapped to [-1, 1)
+        x = math.modf(math.sin(1.0 + plane * 7919 + j * 104729) * 43758.5453)[0]
+        vals.append(2.0 * abs(x) - 1.0)
+    n = math.sqrt(sum(v * v for v in vals)) or 1.0
+    return [v / n for v in vals]
+
+
+def lsh_signatures(embeddings: DataFrame, n_planes: int = 12, dim: int = 64,
+                   vec_col: str = "embedding",
+                   id_col: str = "vec_id") -> DataFrame:
+    """Sign-of-projection LSH bucket per vector (random hyperplanes)."""
+    e = with_unit_norm(embeddings, vec_col, id_col)
+    bucket = sum(
+        (F.when(
+            _dot(F.col("vec"),
+                 F.array(*[F.lit(v) for v in _hyperplane(dim, p)])) > 0, 1
+        ).otherwise(0) * F.lit(2 ** p)).cast("long")
+        for p in range(n_planes)
+    )
+    return e.select("vec_id", "vec", "norm", bucket.alias("bucket"))
+
+
+def lsh_cosine_topk(embeddings: DataFrame, k: int = 5, n_queries: int = 20,
+                    n_planes: int = 8, dim: int = 64,
+                    vec_col: str = "embedding",
+                    id_col: str = "vec_id") -> DataFrame:
+    """Approximate top-k: exact cosine ranked within LSH buckets only.
+
+    Recall < 1 by construction; tests measure it against the brute-force
+    baseline. At scale, candidates per query drop from N to N/2^planes.
+    """
+    sigs = lsh_signatures(embeddings, n_planes=n_planes, dim=dim,
+                          vec_col=vec_col, id_col=id_col)
+    q = sigs.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("vec").alias("vq"),
+        F.col("norm").alias("nq"), F.col("bucket").alias("qb"))
+    cand = sigs.select(
+        F.col("vec_id").alias("n_id"), F.col("vec").alias("vn"),
+        F.col("norm").alias("nn"), F.col("bucket").alias("nb"))
+    joined = (
+        F.broadcast(q).join(cand, F.col("qb") == F.col("nb"))
+        .where(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id",
+                (_dot(F.col("vq"), F.col("vn"))
+                 / (F.col("nq") * F.col("nn"))).alias("cos_exact"))
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos_exact").desc(), F.col("n_id").asc())
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "n_id", F.col("rank").cast("int").alias("rank"),
+                F.round("cos_exact", 4).alias("cos"))
+    )
