@@ -1,0 +1,225 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Default mode (what the driver runs per round): executes the headline queries
+at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` (default 32) and prints ONE JSON line::
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"q": sec, ...}, "sf": ..., ...extras}
+
+Extras carry the pipeline throughput (pages/sec), the compression-ratio arms
+(custom-codec+zstd vs JSON+zstd vs gzip — the reference's benchmark arms,
+trace.go:40-181), and — when ``--scaling`` — throughput at two parallelism
+levels (local[8] vs local[32], the sandbox proxy for N vs 4N executors) with
+the scaling efficiency BASELINE.json demands (≥0.8).
+
+``--scaling`` also rewrites ``BENCH/BASELINE.md`` with the measured table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+N_SYNTH = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "200000"))
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def make_spark(cores: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(f"bench-{cores}")
+        .config("spark.sql.shuffle.partitions", str(max(cores, 8)))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "16g")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
+        .getOrCreate()
+    )
+
+
+_PAGES_CACHE: dict[int, str] = {}
+
+
+def materialize_pages(spark, n_pages: int) -> str:
+    """Write the synthetic pages table to local parquet once (untimed).
+
+    The benchmark then measures the pipeline *from the table scan*, which is
+    the real deployment shape (the 100 TB input is an Iceberg/parquet scan,
+    not an on-the-fly generator). Expression-generated text would otherwise
+    be re-evaluated per downstream reference (Catalyst collapses projections
+    and duplicates the expensive expression).
+    """
+    import tempfile
+
+    from compress_otel_collector_spark.sources.tables import synthetic_pages
+
+    if n_pages not in _PAGES_CACHE:
+        path = tempfile.mkdtemp(prefix=f"bench_pages_{n_pages}_")
+        cores = spark.sparkContext.defaultParallelism
+        synthetic_pages(spark, n_pages, partitions=cores * 2) \
+            .write.mode("overwrite").parquet(path)
+        _PAGES_CACHE[n_pages] = path
+    return _PAGES_CACHE[n_pages]
+
+
+def run_pipeline_synth(spark, n_pages: int, arms: bool = True,
+                       n_salts: int = 4):
+    """parse→enrich→encode→aggregate over n synthetic pages; returns
+    (seconds, pages, ratio dict). Timed from the parquet scan."""
+    from pyspark.sql import functions as F
+
+    from compress_otel_collector_spark.plans.pipeline import (
+        aggregate_stage,
+        encode_stage,
+        enrich_stage,
+        parse_stage,
+        span_stage,
+    )
+
+    path = materialize_pages(spark, n_pages)
+    pages = spark.read.parquet(path)
+    t0 = time.time()
+    spans = span_stage(enrich_stage(parse_stage(pages), spark))
+    agg = aggregate_stage(encode_stage(spans, n_salts=n_salts, arms=arms))
+    row = agg.agg(
+        F.sum("pages").alias("pages"),
+        F.sum("raw_bytes").alias("raw"),
+        F.sum("zstd_bytes").alias("zstd"),
+        F.sum("gzip_bytes").alias("gzip"),
+        F.sum("json_zstd_bytes").alias("json_zstd"),
+    ).collect()[0]
+    dt = time.time() - t0
+    ratios = {
+        "raw_bytes": int(row["raw"]),
+        "zstd_bytes": int(row["zstd"]),
+        "gzip_bytes": int(row["gzip"] or -1),
+        "json_zstd_bytes": int(row["json_zstd"] or -1),
+        "zstd_vs_json_zstd_ratio": (
+            round(row["zstd"] / row["json_zstd"], 4)
+            if arms and row["json_zstd"] else None
+        ),
+        "zstd_per_page": round(row["zstd"] / row["pages"], 2),
+    }
+    return dt, int(row["pages"]), ratios
+
+
+def run_headline_queries(spark, sf_dir: str) -> dict[str, float]:
+    import __spark_entry__ as entrymod
+
+    names = [
+        "tpch_q1", "revenue_by_nation", "dedup_exact", "dedup_minhash_lsh",
+        "dedup_simhash", "embedding_topk", "token_count", "quality_score",
+        "codec_roundtrip", "pipeline_sinks",
+    ]
+    qs = entrymod.queries()
+    out = {}
+    for name in names:
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def scaling_runs(n_pages: int):
+    """Same job, same input, two parallelism levels (N=8, 4N=32)."""
+    results = {}
+    for cores in (8, 32):
+        spark = make_spark(cores)
+        try:
+            run_pipeline_synth(spark, min(20000, n_pages), arms=False)  # warm
+            dt, pages, _ = run_pipeline_synth(spark, n_pages, arms=False)
+            results[cores] = {
+                "sec": round(dt, 2),
+                "pages_per_sec": round(pages / dt, 1),
+            }
+        finally:
+            spark.stop()
+        time.sleep(2)
+    thr8 = results[8]["pages_per_sec"]
+    thr32 = results[32]["pages_per_sec"]
+    eff = round((thr32 / thr8) / 4.0, 3)
+    return results, eff
+
+
+def write_baseline_md(results, eff, pipeline_sec, pages, ratios):
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/BASELINE.md", "w") as f:
+        f.write(f"""# BENCH/BASELINE — measured results
+
+Sandbox: local-mode Spark {os.environ.get('SPARK_VERSION', '4.1.2')},
+{os.cpu_count()} host cores. Input: deterministic synthetic pages table
+(`sources.synthetic_pages`, seed-free pure column functions), n={N_SYNTH}.
+Pipeline: parse → enrich → encode(dictionary codec + zstd) → route-aggregate.
+
+## Throughput (headline, local[{CPUS}])
+
+| metric | value |
+|---|---|
+| pages | {pages} |
+| wall sec | {pipeline_sec:.2f} |
+| pages/sec | {pages / pipeline_sec:,.0f} |
+
+## Compression arms (reference parity: trace.go:40-181)
+
+| arm | bytes | per page |
+|---|---|---|
+| custom codec (raw) | {ratios['raw_bytes']} | {ratios['raw_bytes'] / pages:.1f} |
+| custom + zstd | {ratios['zstd_bytes']} | {ratios['zstd_bytes'] / pages:.1f} |
+| custom + gzip | {ratios['gzip_bytes']} | {ratios['gzip_bytes'] / pages:.1f} |
+| JSON + zstd | {ratios['json_zstd_bytes']} | {ratios['json_zstd_bytes'] / pages:.1f} |
+
+custom+zstd / JSON+zstd = **{ratios['zstd_vs_json_zstd_ratio']}**
+
+## Scaling efficiency (north_rule: ≥0.8 between N and 4N)
+
+Sandbox proxy for two cluster sizes: identical job + identical input at
+local[8] vs local[32].
+
+| cores | sec | pages/sec |
+|---|---|---|
+| 8 | {results[8]['sec']} | {results[8]['pages_per_sec']:,} |
+| 32 | {results[32]['sec']} | {results[32]['pages_per_sec']:,} |
+
+efficiency = (thr_32 / thr_8) / 4 = **{eff}**
+""")
+
+
+def main():
+    scaling = "--scaling" in sys.argv
+    spark = make_spark(CPUS)
+    queries = run_headline_queries(spark, SF_DIR)
+    pipe_sec, pages, ratios = run_pipeline_synth(spark, N_SYNTH, arms=True)
+    queries["pipeline_synth"] = round(pipe_sec, 3)
+    spark.stop()
+
+    result = {
+        "metric": "end-to-end pages/sec (parse→encode→compress→route) "
+                  "+ compression ratio",
+        "value": round(sum(queries.values()), 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+        "pages": pages,
+        "pages_per_sec": round(pages / pipe_sec, 1),
+        "compression": ratios,
+        "cores": CPUS,
+    }
+    if scaling:
+        results, eff = scaling_runs(N_SYNTH)
+        result["scaling"] = {str(k): v for k, v in results.items()}
+        result["scaling_efficiency_8_to_32"] = eff
+        write_baseline_md(results, eff, pipe_sec, pages, ratios)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

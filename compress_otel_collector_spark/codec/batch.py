@@ -63,14 +63,25 @@ class _Pools:
     # pool_id -> list of raw (unfrozen) unique values in index order
     uniques: dict[str, list] = field(default_factory=dict)
 
-    def build(self, pool_id: str, values) -> np.ndarray:
+    def build(self, pool_id: str, values, scalar: bool = False,
+              keys=None) -> np.ndarray:
         """Register ``values`` into ``pool_id``; return per-value codes.
 
         Nulls (None) get code -1 and are never pooled (the scalar encoder
         short-circuits on the presence flag before touching pools).
+        ``scalar=True`` skips structural freezing for string/bytes pools
+        (their values are their own keys — a large hot-path win).
+        ``keys`` supplies caller-precomputed hashable keys (must be a
+        injective function of the value; used by pipeline fast paths where
+        the attribute dicts are themselves built from a few columns).
         """
         arr = list(values)
-        keys = [None if v is None else freeze(v) for v in arr]
+        if keys is not None:
+            keys = list(keys)
+        elif scalar:
+            keys = arr
+        else:
+            keys = [None if v is None else freeze(v) for v in arr]
         pool = self.state.pools.setdefault(pool_id, {})
         uniq = self.uniques.setdefault(pool_id, [])
         codes = np.empty(len(arr), dtype=np.int64)
@@ -177,12 +188,73 @@ def _coerce_bytes(col) -> np.ndarray:
     )
 
 
+def _string_pool_codes(values, st: _State) -> np.ndarray:
+    """Get-or-insert string-pool indices for a column, vectorized via
+    factorize (only the per-unique mapping touches the dict)."""
+    codes, uniques = pd.factorize(
+        pd.Series(np.asarray(values, dtype=object)))
+    sp = st.string_pool
+    mapped = np.empty(len(uniques), dtype=np.int64)
+    for i, u in enumerate(uniques):
+        idx = sp.get(u)
+        if idx is None:
+            idx = len(sp)
+            sp[u] = idx
+        mapped[i] = idx
+    return mapped[codes] if len(codes) else np.zeros(0, dtype=np.int64)
+
+
+def _free_map_columnar_entries(spec: dict[str, str],
+                               cols: dict[str, np.ndarray],
+                               st: _State) -> list[bytes]:
+    """Columnar free-map entry encoder (the attributes-pool hot path).
+
+    ``spec`` maps attribute key → value type ('int'|'str'|'double'|'bool');
+    ``cols`` holds one value column per key (unique pool rows only). Wire
+    layout per entry matches encoder._free_map_encode with sorted keys and
+    no null values (pipeline attributes are always fully populated).
+    """
+    keys_sorted = sorted(spec)
+    m = len(next(iter(cols.values()))) if cols else 0
+    header = encode_sleb128(len(keys_sorted))
+    piece_lists: list[list[bytes]] = [[header] * m]
+    for k in keys_sorted:
+        sp = st.string_pool
+        kidx = sp.get(k)
+        if kidx is None:
+            kidx = len(sp)
+            sp[k] = kidx
+        t = spec[k]
+        if t == "int":
+            prefix = encode_sleb128(kidx) + b"\x01\x00"  # tag INTEGER=0
+            pieces = _varint_pieces(np.asarray(cols[k], dtype=np.int64))
+            piece_lists.append([prefix + p for p in pieces])
+        elif t == "str":
+            prefix = encode_sleb128(kidx) + b"\x01\x04"  # tag STRING=4
+            codes = _string_pool_codes(cols[k], st)
+            pieces = _varint_pieces(codes)
+            piece_lists.append([prefix + p for p in pieces])
+        elif t == "double":
+            prefix = encode_sleb128(kidx) + b"\x01\x02"  # tag DOUBLE=2
+            raw = np.ascontiguousarray(cols[k], dtype="<f8").tobytes()
+            piece_lists.append(
+                [prefix + raw[8 * i:8 * i + 8] for i in range(m)])
+        elif t == "bool":
+            prefix = encode_sleb128(kidx) + b"\x01\x01"  # tag BOOLEAN=1
+            piece_lists.append(
+                [prefix + (b"\x01" if v else b"\x00") for v in cols[k]])
+        else:
+            raise CodecError(f"unsupported attributes_spec type {t!r}")
+    return [b"".join(parts) for parts in zip(*piece_lists)]
+
+
 def encode_span_dataframe(
     pdf: pd.DataFrame,
     group_col: Optional[str] = None,
     resource_attrs_for=None,
     scope: Optional[dict] = None,
     schema_url: Optional[str] = None,
+    attributes_spec: Optional[dict[str, str]] = None,
 ) -> bytes:
     """Encode a pandas span batch (columns ``SPAN_COLUMNS``) into one blob.
 
@@ -214,6 +286,8 @@ def encode_span_dataframe(
     col = {c: pdf[c].to_numpy() for c in SPAN_COLUMNS if c in pdf.columns}
     for c in SPAN_COLUMNS:
         if c not in col:
+            if c == "attributes" and attributes_spec is not None:
+                continue  # columnar attributes: attr:<key> columns instead
             raise CodecError(f"missing span column {c!r}")
 
     trace_id = _coerce_bytes(col["trace_id"])
@@ -238,11 +312,43 @@ def encode_span_dataframe(
 
     # ---- build pools in topological order ----------------------------
     # (children before parents; see topological_pool_order docstring)
-    span_attr_mask = _null_mask(col["attributes"])
-    span_attr_codes = pools.build(
-        _SPANS_PATH + " attributes",
-        [None if m else v for m, v in zip(span_attr_mask, col["attributes"])],
-    )
+    attr_pool_id = _SPANS_PATH + " attributes"
+    if attributes_spec is not None:
+        # columnar fast path: attributes live in attr:<key> columns; the
+        # pool dedup key is the value tuple, entries encode columnwise
+        keys_sorted = sorted(attributes_spec)
+        acols = {k: pdf[f"attr:{k}"].to_numpy() for k in keys_sorted}
+        pool = pools.state.pools.setdefault(attr_pool_id, {})
+        span_attr_codes = np.empty(n, dtype=np.int64)
+        first_rows: list[int] = []
+        for i, key in enumerate(zip(*(acols[k] for k in keys_sorted))):
+            idx = pool.get(key)
+            if idx is None:
+                idx = len(pool)
+                pool[key] = idx
+                first_rows.append(i)
+            span_attr_codes[i] = idx
+        sel = np.asarray(first_rows, dtype=np.int64)
+        pools.state.pool_entries[attr_pool_id] = _free_map_columnar_entries(
+            attributes_spec, {k: acols[k][sel] for k in keys_sorted},
+            pools.state)
+        pools.uniques[attr_pool_id] = []
+    else:
+        span_attr_mask = _null_mask(col["attributes"])
+        attr_keys = None
+        if "attributes_key" in pdf.columns:
+            # caller-supplied injective keys (skips structural freeze)
+            attr_keys = [
+                None if m else k
+                for m, k in zip(span_attr_mask,
+                                pdf["attributes_key"].to_numpy())
+            ]
+        span_attr_codes = pools.build(
+            attr_pool_id,
+            [None if m else v
+             for m, v in zip(span_attr_mask, col["attributes"])],
+            keys=attr_keys,
+        )
 
     ev_attrs = [e.get("attributes") for e in flat_events]
     ev_attr_mask = _null_mask(np.array(ev_attrs, dtype=object))
@@ -255,6 +361,7 @@ def encode_span_dataframe(
     ev_name_codes = pools.build(
         _EVENTS_PATH + " name",
         [None if m else v for m, v in zip(ev_name_mask, ev_names)],
+        scalar=True,
     )
 
     ln_attrs = [l.get("attributes") for l in flat_links]
@@ -275,6 +382,7 @@ def encode_span_dataframe(
         list(np.where(parent_mask, None, parent_span_id))
         + list(np.where(span_id_mask, None, span_id))
         + list(np.where(ln_span_mask, None, ln_span_ids)),
+        scalar=True,
     )
     parent_codes = span_pool_codes[:n_parent]
     span_codes = span_pool_codes[n_parent:n_parent + n_span]
@@ -282,7 +390,7 @@ def encode_span_dataframe(
 
     ln_trace_ids = _coerce_bytes([l.get("traceId") for l in flat_links])
     trace_pool_codes = pools.build(
-        "traceId", list(trace_id) + list(ln_trace_ids)
+        "traceId", list(trace_id) + list(ln_trace_ids), scalar=True
     )
     trace_codes = trace_pool_codes[:n]
     ln_trace_codes = trace_pool_codes[n:]
@@ -297,6 +405,7 @@ def encode_span_dataframe(
         "traceState",
         list(np.where(ts_mask, None, ts_col))
         + list(np.where(ln_state_mask, None, ln_states)),
+        scalar=True,
     )
     ts_codes = state_pool_codes[:n]
     ln_state_codes = state_pool_codes[n:]
@@ -304,19 +413,24 @@ def encode_span_dataframe(
     # links items are themselves pooled objects
     ln_item_codes = pools.build(_LINKS_ITEM_PATH, flat_links)
 
-    name_codes = pools.build(_SPANS_PATH + " name", list(col["name"]))
+    name_codes = pools.build(_SPANS_PATH + " name", list(col["name"]),
+                             scalar=True)
 
     msg_col = np.asarray(col["status_message"], dtype=object)
     msg_mask = _null_mask(msg_col)
     pools.build(
         _SPANS_PATH + " status message",
         list(np.where(msg_mask, None, msg_col)),
+        scalar=True,
     )
     status_vals = [
         {"message": m, "code": int(c)}
         for m, c in zip(col["status_message"], col["status_code"])
     ]
-    status_codes = pools.build(_SPANS_PATH + " status", status_vals)
+    status_codes = pools.build(
+        _SPANS_PATH + " status", status_vals,
+        keys=list(zip(col["status_message"], col["status_code"])),
+    )
 
     resources = [
         {"attributes": resource_attrs_for(k), "droppedAttributesCount": 0}
@@ -336,9 +450,11 @@ def encode_span_dataframe(
         [None if not scope_attrs else scope_attrs] * len(group_keys),
     )
     scope_name = scope.get("name") or None
-    pools.build(scope_prefix + " name", [scope_name] * len(group_keys))
+    pools.build(scope_prefix + " name", [scope_name] * len(group_keys),
+                scalar=True)
     scope_version = scope.get("version") or None
-    pools.build(scope_prefix + " version", [scope_version] * len(group_keys))
+    pools.build(scope_prefix + " version",
+                [scope_version] * len(group_keys), scalar=True)
 
     resource_codes = pools.build("resourceSpans item resource", resources)
     scope_codes = pools.build(scope_prefix, [scope] * len(group_keys))
@@ -346,11 +462,12 @@ def encode_span_dataframe(
         else schema_url
     if schema_url_val is not None:
         rs_schema_codes = pools.build(
-            "resourceSpans item schemaUrl", [schema_url_val] * len(group_keys)
+            "resourceSpans item schemaUrl",
+            [schema_url_val] * len(group_keys), scalar=True
         )
         ss_schema_codes = pools.build(
             "resourceSpans item scopeSpans item schemaUrl",
-            [schema_url_val] * len(group_keys),
+            [schema_url_val] * len(group_keys), scalar=True,
         )
     else:
         rs_schema_codes = np.full(len(group_keys), -1)

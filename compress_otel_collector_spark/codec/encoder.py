@@ -151,7 +151,14 @@ def _inner_encode(value, d: Definition, path: str, st: _State,
         if pool is None:
             pool = st.pools[pool_id] = {}
             st.pool_entries[pool_id] = []
-        key = freeze(value)
+        # str/bytes pools are single-typed → the value is its own key
+        # (shared-pool validation enforces type equality across fields)
+        if t == STRING:
+            key = value
+        elif t == BYTES:
+            key = bytes(value)
+        else:
+            key = freeze(value)
         index = pool.get(key)
         if index is None:
             index = len(pool)

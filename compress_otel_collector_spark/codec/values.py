@@ -65,16 +65,26 @@ def freeze(value):
     Structural, type-tagged (so 1, True, 1.0 are distinct — the reference
     pools are keyed by typed deep hash + comparator, model/value.go:40-302).
     """
-    tag = python_type_tag(value) if value is not None else -1
     if value is None:
         return None
+    t = type(value)
+    tag = _TAG_BY_TYPE.get(t)
+    if tag is None:
+        tag = python_type_tag(value)  # subclasses / tuples / bytearray
     if tag == OBJECT:
-        return (OBJECT, tuple(sorted((k, freeze(v)) for k, v in value.items())))
+        return (OBJECT,
+                tuple(sorted((k, freeze(v)) for k, v in value.items())))
     if tag == ARRAY:
         return (ARRAY, tuple(freeze(v) for v in value))
     if tag == BYTES:
         return (BYTES, bytes(value))
     return (tag, value)
+
+
+_TAG_BY_TYPE = {
+    bool: BOOLEAN, int: INTEGER, float: DOUBLE, bytes: BYTES, str: STRING,
+    dict: OBJECT, list: ARRAY,
+}
 
 
 def normalize(value, definition: Definition):

@@ -138,15 +138,20 @@ def _encode_batches(arms: bool):
                               "dropped_events_count", "dropped_links_count",
                               "status_message", "status_code")
                 })
-                spans["attributes"] = [
-                    {"http.url": u, "http.status_code": 200,
-                     "lang": lang, "n_chars": int(nc)}
-                    for u, nc in zip(g["url"], g["n_chars"])
-                ]
+                # columnar attributes (no per-row dict building): the codec
+                # encodes the free-map pool entries columnwise
+                spans["attr:http.url"] = g["url"].to_numpy()
+                spans["attr:http.status_code"] = 200
+                spans["attr:lang"] = lang
+                spans["attr:n_chars"] = g["n_chars"].to_numpy()
                 spans["events"] = None
                 spans["links"] = None
                 blob = encode_span_dataframe(
                     spans,
+                    attributes_spec={
+                        "http.url": "str", "http.status_code": "int",
+                        "lang": "str", "n_chars": "int",
+                    },
                     resource_attrs_for=lambda _k: {
                         "service.name": f"crawler-{lang}",
                         "host.bucket": int(bucket),
@@ -156,15 +161,16 @@ def _encode_batches(arms: bool):
                 if arms:
                     gz = len(gzip.compress(blob, asbytes=True))
                     # JSON marshal arm (the reference's JSONMarshaler
-                    # comparison, trace.go:95-105): OTLP-JSON-style hex ids
+                    # comparison, trace.go:95-105): OTLP-JSON-style hex ids;
+                    # attr:* columns carry the attribute content
                     json_view = spans.drop(
-                        columns=["attributes", "events", "links"]
+                        columns=["attributes", "events", "links"],
+                        errors="ignore",
                     ).assign(
                         trace_id=[t.hex() for t in spans["trace_id"]],
                         span_id=[s.hex() for s in spans["span_id"]],
                         parent_span_id=[p.hex() for p in
                                         spans["parent_span_id"]],
-                        url=g["url"].to_numpy(),
                     )
                     js = json_view.to_json(orient="records").encode()
                     jz = len(zstd.compress(js, asbytes=True))
