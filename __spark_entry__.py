@@ -274,7 +274,7 @@ def _q_pipeline_sinks(spark, sf_dir):
 
 def _q_lsh_similarity(spark, sf_dir):
     return lsh_cosine_topk(load_table(spark, sf_dir, "embeddings"),
-                           k=5, n_queries=20, n_planes=6)
+                           k=5, n_queries=20, n_planes=4, n_tables=4)
 
 
 def _q_multimodal_features(spark, sf_dir):

@@ -107,41 +107,62 @@ def _hyperplane(dim: int, plane: int) -> list[float]:
     return [v / n for v in vals]
 
 
-def lsh_signatures(embeddings: DataFrame, n_planes: int = 12, dim: int = 64,
-                   vec_col: str = "embedding",
-                   id_col: str = "vec_id") -> DataFrame:
-    """Sign-of-projection LSH bucket per vector (random hyperplanes)."""
-    e = with_unit_norm(embeddings, vec_col, id_col)
-    bucket = sum(
+def _bucket_expr(n_planes: int, dim: int, table: int) -> Column:
+    """One hash table's bucket id: sign bits of n_planes projections."""
+    return sum(
         (F.when(
             _dot(F.col("vec"),
-                 F.array(*[F.lit(v) for v in _hyperplane(dim, p)])) > 0, 1
+                 F.array(*[F.lit(v) for v in
+                           _hyperplane(dim, table * 64 + p)])) > 0, 1
         ).otherwise(0) * F.lit(2 ** p)).cast("long")
         for p in range(n_planes)
     )
-    return e.select("vec_id", "vec", "norm", bucket.alias("bucket"))
+
+
+def lsh_signatures(embeddings: DataFrame, n_planes: int = 12, dim: int = 64,
+                   n_tables: int = 1, vec_col: str = "embedding",
+                   id_col: str = "vec_id") -> DataFrame:
+    """(vec_id, vec, norm, table, bucket) rows — one per hash table.
+
+    Multiple tables = OR-amplification: a pair is a candidate if it collides
+    in ANY table (recall 1-(1-p^k)^L for match prob p per plane).
+    """
+    e = with_unit_norm(embeddings, vec_col, id_col)
+    buckets = F.array(*[
+        _bucket_expr(n_planes, dim, t) for t in range(n_tables)
+    ])
+    return e.select(
+        "vec_id", "vec", "norm",
+        F.posexplode(buckets).alias("table", "bucket"),
+    )
 
 
 def lsh_cosine_topk(embeddings: DataFrame, k: int = 5, n_queries: int = 20,
-                    n_planes: int = 8, dim: int = 64,
+                    n_planes: int = 4, n_tables: int = 4, dim: int = 64,
                     vec_col: str = "embedding",
                     id_col: str = "vec_id") -> DataFrame:
-    """Approximate top-k: exact cosine ranked within LSH buckets only.
+    """Approximate top-k: exact cosine ranked within LSH bucket collisions.
 
     Recall < 1 by construction; tests measure it against the brute-force
-    baseline. At scale, candidates per query drop from N to N/2^planes.
+    baseline. At scale, candidates per query drop from N to
+    ~L·N/2^planes, and the only shuffle is the (table, bucket) join.
     """
-    sigs = lsh_signatures(embeddings, n_planes=n_planes, dim=dim,
-                          vec_col=vec_col, id_col=id_col)
+    sigs = lsh_signatures(embeddings, n_planes=n_planes, n_tables=n_tables,
+                          dim=dim, vec_col=vec_col, id_col=id_col)
     q = sigs.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("q_id"), F.col("vec").alias("vq"),
-        F.col("norm").alias("nq"), F.col("bucket").alias("qb"))
+        F.col("norm").alias("nq"), F.col("table").alias("qt"),
+        F.col("bucket").alias("qb"))
     cand = sigs.select(
         F.col("vec_id").alias("n_id"), F.col("vec").alias("vn"),
-        F.col("norm").alias("nn"), F.col("bucket").alias("nb"))
+        F.col("norm").alias("nn"), F.col("table").alias("nt"),
+        F.col("bucket").alias("nb"))
     joined = (
-        F.broadcast(q).join(cand, F.col("qb") == F.col("nb"))
+        F.broadcast(q).join(cand, (F.col("qt") == F.col("nt"))
+                            & (F.col("qb") == F.col("nb")))
         .where(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id", "vq", "nq", "vn", "nn")
+        .dropDuplicates(["q_id", "n_id"])  # collided in ≥1 table
         .select("q_id", "n_id",
                 (_dot(F.col("vq"), F.col("vn"))
                  / (F.col("nq") * F.col("nn"))).alias("cos_exact"))

@@ -1,0 +1,75 @@
+"""Structured Streaming wrapper for the encode pipeline.
+
+The reference collector is itself a streaming system (OTLP receiver →
+batch processor → exporter, SURVEY.md §3.1) whose state is per-batch only —
+diff/pool state resets every ``Encode()`` call. That maps exactly onto
+``foreachBatch``: each micro-batch runs the same parse → enrich → encode →
+route stages, blobs stay batch-scoped, and Spark's checkpoint gives the
+collector's missing resumability (exactly-once sink appends per batch id).
+
+``trigger(availableNow=True)`` drains whatever input exists and stops — the
+batch/stream unification point: the same job is a backfill today and a
+continuous tailer in production. No event-time watermarks are needed
+(north_rule: resumability = checkpoint + lineage, not late-data windows);
+the aggregate stage is recomputed from the routed sink, not kept as
+streaming state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..plans.pipeline import (
+    encode_stage,
+    enrich_stage,
+    parse_stage,
+    route_stage,
+    span_stage,
+)
+from ..sources.tables import synthetic_pages
+
+
+def pages_stream(spark: SparkSession, input_dir: str,
+                 max_files_per_trigger: int = 8) -> DataFrame:
+    """File-source stream over a pages parquet directory."""
+    schema = synthetic_pages(spark, 0).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+
+
+def run_streaming_pipeline(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    n_buckets: int = 8,
+    n_salts: int = 4,
+    arms: bool = False,
+):
+    """Drain the input with availableNow; resumable via checkpoint.
+
+    Each micro-batch runs the full stage chain and appends to the routed
+    sink — rerunning after a crash replays only unprocessed files.
+    Returns the terminated StreamingQuery.
+    """
+    stream = pages_stream(spark, input_dir)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spans = span_stage(
+            enrich_stage(parse_stage(batch_df), spark, n_buckets=n_buckets))
+        encoded = encode_stage(spans, n_salts=n_salts, arms=arms)
+        route_stage(encoded, out_dir)
+
+    query = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return query

@@ -1,0 +1,150 @@
+"""Training-data operator tests: dedup semantics, LSH recall, multimodal."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from compress_otel_collector_spark.operators import (
+    cosine_topk,
+    dedup_keep_first,
+    exact_dedup,
+    extract_features,
+    lsh_cosine_topk,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_dup_groups,
+    synthesize_media,
+    token_stats,
+)
+from compress_otel_collector_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark, docs):
+    """documents ∪ copies of the first 20 docs under new ids (true dups)."""
+    dup = (
+        docs.where(F.col("doc_id") < 20)
+        .withColumn("doc_id", F.col("doc_id") + 100000)
+    )
+    return docs.unionByName(dup).cache()
+
+
+class TestExactDedup:
+    def test_finds_planted_duplicates(self, docs_with_dups):
+        groups = exact_dedup(docs_with_dups)
+        dup_groups = groups.where(F.col("dup_count") > 1)
+        # every planted copy collapses onto its original (min id kept)
+        assert dup_groups.count() >= 19  # ≥: originals may repeat too
+        keeps = {r["keep_id"] for r in dup_groups.collect()}
+        assert all(k < 100000 for k in keeps)
+
+    def test_keep_first_row_count(self, docs_with_dups, docs):
+        kept = dedup_keep_first(docs_with_dups)
+        assert kept.count() == docs.select("text").distinct().count()
+
+
+class TestMinHashLSH:
+    def test_planted_dups_are_candidates(self, spark, docs_with_dups):
+        pairs = minhash_lsh_pairs(docs_with_dups).cache()
+        got = {(r["a_id"], r["b_id"]) for r in pairs.collect()}
+        # identical docs share every minhash → always LSH candidates
+        planted = set()
+        texts = {r["doc_id"]: r["text"] for r in
+                 docs_with_dups.where(F.col("doc_id") < 20).collect()}
+        for i, t in texts.items():
+            if len(t.split()) >= 3:
+                planted.add((i, i + 100000))
+        missing = planted - got
+        assert not missing, f"LSH missed exact dups: {missing}"
+
+    def test_no_self_pairs(self, docs):
+        pairs = minhash_lsh_pairs(docs)
+        assert pairs.where(F.col("a_id") >= F.col("b_id")).count() == 0
+
+
+class TestJaccard:
+    def test_exact_dup_jaccard_is_one(self, docs_with_dups):
+        pairs = ngram_jaccard_pairs(docs_with_dups, threshold=0.99)
+        exact = pairs.where(
+            (F.col("b_id") - F.col("a_id") == 100000)
+            & (F.col("jaccard") == 1.0)
+        )
+        assert exact.count() >= 15
+
+
+class TestSimHash:
+    def test_identical_docs_same_fingerprint(self, docs_with_dups):
+        s = simhash(docs_with_dups)
+        joined = (
+            s.alias("a").join(
+                s.alias("b"),
+                F.col("a.doc_id") + 100000 == F.col("b.doc_id"))
+            .where(F.col("a.simhash") != F.col("b.simhash"))
+        )
+        assert joined.count() == 0
+
+    def test_dup_groups_capture_planted(self, docs_with_dups):
+        groups = simhash_dup_groups(docs_with_dups)
+        assert groups.agg(F.sum("n_docs")).collect()[0][0] >= 20
+
+    def test_fingerprint_range(self, docs):
+        s = simhash(docs)
+        row = s.agg(F.min("simhash"), F.max("simhash")).collect()[0]
+        assert 0 <= row[0] and row[1] < 2 ** 16
+
+
+class TestSimilarity:
+    def test_lsh_recall_against_bruteforce(self, spark, sf_dir):
+        emb = load_table(spark, sf_dir, "embeddings")
+        exact = cosine_topk(emb, k=5, n_queries=10)
+        approx = lsh_cosine_topk(emb, k=5, n_queries=10,
+                                 n_planes=4, n_tables=4)
+        e = {(r["q_id"], r["n_id"]) for r in exact.collect()}
+        a = {(r["q_id"], r["n_id"]) for r in approx.collect()}
+        recall = len(e & a) / len(e)
+        # 4 tables × 4 planes (OR-amplified): each table keeps ~1/16 of
+        # candidates; recall must beat the ~23% random-candidate floor
+        assert recall > 0.3, f"LSH recall {recall}"
+
+    def test_topk_is_sorted_and_self_free(self, spark, sf_dir):
+        emb = load_table(spark, sf_dir, "embeddings")
+        rows = cosine_topk(emb, k=3, n_queries=5).collect()
+        assert all(r["q_id"] != r["n_id"] for r in rows)
+        by_q = {}
+        for r in rows:
+            by_q.setdefault(r["q_id"], []).append((r["rank"], r["cos"]))
+        for q, lst in by_q.items():
+            lst.sort()
+            coss = [c for _, c in lst]
+            assert coss == sorted(coss, reverse=True)
+
+
+class TestMultimodal:
+    def test_feature_extraction_shape_and_determinism(self, spark, docs):
+        media = synthesize_media(docs.limit(30))
+        feats = extract_features(media).cache()
+        rows = feats.collect()
+        assert len(rows) == 30
+        assert all(len(r["feature"]) == 16 for r in rows)
+        assert all(0.0 <= v <= 1.0 for r in rows for v in r["feature"])
+        video_frames = {r["frames_sampled"] for r in rows
+                        if r["kind"] == "video"}
+        assert video_frames == {4}
+        # deterministic across runs
+        again = extract_features(media).collect()
+        assert sorted(map(str, rows)) == sorted(map(str, again))
+
+
+class TestTokenStats:
+    def test_empty_text_rows(self, spark):
+        df = spark.createDataFrame(
+            [(1, ""), (2, "one two three")], ["doc_id", "text"])
+        rows = {r["doc_id"]: r for r in token_stats(df).collect()}
+        assert rows[1]["ws_tokens"] == 0
+        assert rows[1]["bpe_ish_tokens"] == 0
+        assert rows[2]["ws_tokens"] == 3

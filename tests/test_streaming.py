@@ -1,0 +1,36 @@
+"""Structured Streaming pipeline: checkpointed, resumable, incremental."""
+
+from pyspark.sql import functions as F
+
+from compress_otel_collector_spark.plans.pipeline import read_routed
+from compress_otel_collector_spark.sources.tables import synthetic_pages
+from compress_otel_collector_spark.streaming.stream import (
+    run_streaming_pipeline,
+)
+
+
+def test_streaming_drain_and_resume(spark, tmp_path):
+    input_dir = str(tmp_path / "pages_in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    synthetic_pages(spark, 300, partitions=3).write.parquet(input_dir)
+    run_streaming_pipeline(spark, input_dir, out_dir, ckpt)
+    total1 = read_routed(spark, out_dir).agg(
+        F.sum("n_spans")).collect()[0][0]
+    assert total1 == 300
+
+    # rerun with the same checkpoint → nothing reprocessed
+    run_streaming_pipeline(spark, input_dir, out_dir, ckpt)
+    total2 = read_routed(spark, out_dir).agg(
+        F.sum("n_spans")).collect()[0][0]
+    assert total2 == 300
+
+    # new files arrive → only they are processed on the next drain
+    synthetic_pages(spark, 100, partitions=1).withColumn(
+        "doc_id", F.col("doc_id") + 1000
+    ).write.mode("append").parquet(input_dir)
+    run_streaming_pipeline(spark, input_dir, out_dir, ckpt)
+    total3 = read_routed(spark, out_dir).agg(
+        F.sum("n_spans")).collect()[0][0]
+    assert total3 == 400
