@@ -256,7 +256,7 @@ def main():
         # measured efficiency via Amdahl at small inputs
         results, eff = scaling_runs(max(N_SYNTH, 2_000_000))
         result["scaling"] = {str(k): v for k, v in results.items()}
-        result["scaling_efficiency_8_to_32"] = eff
+        result["scaling_efficiency_n_to_4n"] = eff  # N=2 cores vs 4N=8
         write_baseline_md(results, eff, pipe_sec, pages, ratios)
     print(json.dumps(result))
 

@@ -1,0 +1,70 @@
+"""Physical-plan quality gates: the plans we want at 100 TB, pinned.
+
+These tests read ``executedPlan`` strings so a regression that silently
+introduces an extra shuffle, breaks pushdown, or flips a broadcast join to
+sort-merge fails loudly at sf0.001.
+"""
+
+from pyspark.sql import functions as F
+
+from compress_otel_collector_spark.plans.pipeline import (
+    encode_stage,
+    enrich_stage,
+    parse_stage,
+    span_stage,
+)
+from compress_otel_collector_spark.sources.tables import (
+    load_table,
+    pages_from_documents,
+)
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_and_projection_reach_the_scan(spark, sf_dir):
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("lang") == "en")
+        .select("doc_id", "lang")
+    )
+    plan = plan_of(d)
+    assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in plan
+    assert "ReadSchema: struct<doc_id:bigint,lang:string>" in plan
+
+
+def test_enrich_uses_broadcast_join(spark, sf_dir):
+    enriched = enrich_stage(
+        parse_stage(pages_from_documents(spark, sf_dir)), spark)
+    plan = plan_of(enriched)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_parse_stage_is_narrow(spark, sf_dir):
+    """parse adds no exchange: it must pipeline with the scan."""
+    parsed = parse_stage(pages_from_documents(spark, sf_dir))
+    plan = plan_of(parsed)
+    assert "Exchange" not in plan
+
+
+def test_encode_stage_has_exactly_one_shuffle(spark, sf_dir):
+    spans = span_stage(
+        enrich_stage(parse_stage(pages_from_documents(spark, sf_dir)),
+                     spark))
+    enc = encode_stage(spans, n_salts=4, arms=False)
+    plan = plan_of(enc)
+    shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert shuffles == 1, f"want exactly 1 shuffle, plan:\n{plan}"
+    assert "SortMergeJoin" not in plan
+
+
+def test_tpch_q1_scan_is_pruned(spark, sf_dir):
+    import __spark_entry__ as em
+
+    plan = plan_of(em.queries()["tpch_q1"](spark, sf_dir))
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    # only the 6 referenced columns are read, not all 11
+    assert "l_orderkey" not in read and "l_partkey" not in read
+    assert "l_quantity" in read and "l_shipdate" in read
