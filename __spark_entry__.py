@@ -203,6 +203,92 @@ def _q_revenue_by_nation(spark, sf_dir):
     )
 
 
+def _q_rollup_revenue(spark, sf_dir):
+    """Grouping-set coverage: rollup over (returnflag, linestatus)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+             F.count("*").alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_price", "n",
+        )
+    )
+
+
+def _q_set_ops(spark, sf_dir):
+    """Set-op coverage: customers with orders vs without (∩ / ∖)."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"))
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"))
+    with_orders = c.intersect(o)
+    without = c.exceptAll(o.distinct())
+    return spark.createDataFrame(
+        [(with_orders.count(), without.count())],
+        "with_orders long, without_orders long",
+    )
+
+
+def _q_sessionize(spark, sf_dir):
+    """Stateful-window coverage: 1-hour-gap sessionization per user."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts").cast("timestamp")) - F.lag(
+        F.unix_micros(F.col("ts").cast("timestamp")), 1).over(w)
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 3600 * 1000000), 1).otherwise(0))
+    sess = flagged.withColumn(
+        "session_id", F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+    return (
+        sess.groupBy("user_id")
+        .agg(F.max("session_id").cast("long").alias("n_sessions"),
+             F.count("*").alias("n_events"))
+    )
+
+
+def _q_json_props(spark, sf_dir):
+    """JSON-function coverage: extract props.k from the events table."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(k).alias("n_with_k"),
+            F.sum(k).alias("sum_k"),
+            F.round(F.avg(k), 4).alias("avg_k"),
+        )
+    )
+
+
+def _q_date_buckets(spark, sf_dir):
+    """Date-function coverage: per-day counts with month/day breakdown."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.month("ts").cast("int").alias("m"),
+            F.dayofmonth("ts").cast("int").alias("d"))
+        .agg(F.count("*").alias("n"),
+             F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+
+
+def _q_string_funcs(spark, sf_dir):
+    """String-function coverage over part names."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper(F.substring("p_name", 1, 8)).alias("prefix"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.reverse(F.col("p_brand")).alias("brand_rev"),
+        F.concat_ws("-", "p_type", "p_brand").alias("type_brand"),
+    )
+
+
 def _q_dedup_exact(spark, sf_dir):
     return exact_dedup(load_table(spark, sf_dir, "documents"))
 
@@ -305,6 +391,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # relational coverage
         "tpch_q1": _q_tpch_q1,
         "revenue_by_nation": _q_revenue_by_nation,
+        "rollup_revenue": _q_rollup_revenue,
+        "set_ops": _q_set_ops,
+        "sessionize": _q_sessionize,
+        "json_props": _q_json_props,
+        "date_buckets": _q_date_buckets,
+        "string_funcs": _q_string_funcs,
         # training-data operators
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
@@ -450,6 +542,70 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name, n_name ORDER BY r_name, n_name
+        """,
+        "rollup_revenue": """
+            SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+                   coalesce(l_linestatus, 'ALL') AS linestatus,
+                   round(sum(l_extendedprice), 2) AS sum_price,
+                   count(*) AS n
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "set_ops": """
+            SELECT
+                (SELECT count(*) FROM
+                    (SELECT c_custkey AS k FROM customer
+                     INTERSECT SELECT o_custkey FROM orders))
+                    AS with_orders,
+                (SELECT count(*) FROM
+                    (SELECT c_custkey AS k FROM customer
+                     EXCEPT SELECT o_custkey FROM orders))
+                    AS without_orders
+        """,
+        "sessionize": """
+            WITH g AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                                    > CAST(3600 AS BIGINT) * 1000000
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+                SELECT user_id,
+                       SUM(new_session) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+                FROM g
+            )
+            SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions,
+                   count(*) AS n_events
+            FROM s GROUP BY user_id
+        """,
+        "json_props": """
+            SELECT event_type,
+                   count(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                       AS n_with_k,
+                   CAST(SUM(CAST(json_extract_string(props, '$.k')
+                        AS BIGINT)) AS BIGINT) AS sum_k,
+                   round(AVG(CAST(json_extract_string(props, '$.k')
+                        AS BIGINT)), 4) AS avg_k
+            FROM events GROUP BY event_type
+        """,
+        "date_buckets": """
+            SELECT CAST(month(ts) AS INT) AS m,
+                   CAST(day(ts) AS INT) AS d,
+                   count(*) AS n,
+                   round(sum(value), 4) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "string_funcs": """
+            SELECT p_partkey,
+                   upper(substr(p_name, 1, 8)) AS prefix,
+                   CAST(length(p_name) AS BIGINT) AS name_len,
+                   reverse(p_brand) AS brand_rev,
+                   p_type || '-' || p_brand AS type_brand
+            FROM part
         """,
         "dedup_exact": """
             SELECT md5(text) AS text_hash,

@@ -71,7 +71,7 @@ def materialize_pages(spark, n_pages: int) -> str:
 
 
 def run_pipeline_synth(spark, n_pages: int, arms: bool = True,
-                       n_salts: int = 4):
+                       n_salts: int = 8):
     """parse→enrich→encode→aggregate over n synthetic pages; returns
     (seconds, pages, ratio dict). Timed from the parquet scan."""
     from pyspark.sql import functions as F
