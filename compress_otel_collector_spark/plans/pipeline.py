@@ -73,6 +73,7 @@ ENCODED_SCHEMA = StructType([
     StructField("zstd_bytes", LongType()),
     StructField("gzip_bytes", LongType()),
     StructField("json_zstd_bytes", LongType()),
+    StructField("arrow_zstd_bytes", LongType()),
     StructField("blob_sha256", StringType()),
     StructField("blob", BinaryType()),
 ])
@@ -174,8 +175,18 @@ def _encode_batches(arms: bool):
                     )
                     js = json_view.to_json(orient="records").encode()
                     jz = len(zstd.compress(js, asbytes=True))
+                    # binary columnar arm (stand-in for the proto arm,
+                    # trace.go:41-47): Arrow IPC stream + zstd
+                    sink = pa.BufferOutputStream()
+                    tbl = pa.Table.from_pandas(
+                        spans.drop(columns=["attributes", "events", "links"],
+                                   errors="ignore"),
+                        preserve_index=False)
+                    with pa.ipc.new_stream(sink, tbl.schema) as w:
+                        w.write_table(tbl)
+                    az = len(zstd.compress(sink.getvalue(), asbytes=True))
                 else:
-                    gz, jz = -1, -1
+                    gz, jz, az = -1, -1, -1
                 out.append({
                     "lang": lang,
                     "host_bucket": int(bucket),
@@ -187,6 +198,7 @@ def _encode_batches(arms: bool):
                     "zstd_bytes": len(blob_z),
                     "gzip_bytes": gz,
                     "json_zstd_bytes": jz,
+                    "arrow_zstd_bytes": az,
                     "blob_sha256": hashlib.sha256(blob).hexdigest(),
                     "blob": blob_z,
                 })
@@ -213,15 +225,24 @@ def encode_stage(spans: DataFrame, n_salts: int = 16,
     return df.mapInPandas(_encode_batches(arms), schema=ENCODED_SCHEMA)
 
 
-def route_stage(encoded: DataFrame, out_dir: str) -> None:
+def route_stage(encoded: DataFrame, out_dir: str,
+                debug_json: bool = False) -> None:
     """Fan-out sink: one partition dir per (lang, host_bucket) route.
 
     Blob rows double as lineage records; a route is complete iff present.
     At cluster scale this would be an Iceberg table (atomic snapshot commit);
-    the layout and semantics are identical.
+    the layout and semantics are identical. ``debug_json`` adds the debug
+    route (the reference's logs path, exporter/log.go:11-23): lineage rows
+    minus the blob as JSON lines.
     """
+    if debug_json:
+        encoded = encoded.persist()  # two actions — don't encode twice
     (encoded.write.mode("append").partitionBy("lang", "host_bucket")
      .parquet(f"{out_dir}/routed"))
+    if debug_json:
+        (encoded.drop("blob").write.mode("append")
+         .json(f"{out_dir}/debug_json"))
+        encoded.unpersist()
 
 
 def read_routed(spark: SparkSession, out_dir: str) -> DataFrame:
@@ -249,6 +270,7 @@ def aggregate_stage(encoded_or_routed: DataFrame) -> DataFrame:
             F.sum("zstd_bytes").alias("zstd_bytes"),
             F.sum("gzip_bytes").alias("gzip_bytes"),
             F.sum("json_zstd_bytes").alias("json_zstd_bytes"),
+            F.sum("arrow_zstd_bytes").alias("arrow_zstd_bytes"),
             (F.sum("zstd_bytes") / F.sum("json_zstd_bytes"))
             .alias("zstd_vs_json_ratio"),
         )
