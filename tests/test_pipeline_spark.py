@@ -108,6 +108,8 @@ class TestEncodeRoute:
             F.when(F.col("kind") == 0, None).otherwise(F.col("kind"))
             .alias("kind"),
             "start_ns", "end_ns", "status_code", "n_chars",
+            F.when(F.col("doc_id") % 10 == 0, 1).otherwise(0)
+            .cast("long").alias("n_events"),
         )
         cols = decoded.columns
         assert decoded.select(cols).exceptAll(expected.select(cols)).count() == 0

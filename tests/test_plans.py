@@ -19,6 +19,17 @@ from compress_otel_collector_spark.sources.tables import (
 )
 
 
+import pytest
+
+
+@pytest.fixture(autouse=True)
+def _no_cached_scans(spark):
+    # other test modules .cache() these tables; a cached InMemoryTableScan
+    # would shadow the FileScan these plan assertions inspect
+    spark.catalog.clearCache()
+    yield
+
+
 def plan_of(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
