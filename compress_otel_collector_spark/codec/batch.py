@@ -31,10 +31,20 @@ from typing import Optional
 import numpy as np
 import pandas as pd
 
-from .definition import Definition, topological_pool_order, trace_model
+from .definition import (
+    BYTES as BYTES_T,
+    STRING as STRING_T,
+    Definition,
+    topological_pool_order,
+    trace_model,
+)
 from .encoder import _encode_payload, _State
 from .values import CodecError, freeze, is_null_value
-from .varint import encode_sleb128, encode_sleb128_array
+from .varint import (
+    encode_sleb128,
+    encode_sleb128_array,
+    encode_sleb128_matrix,
+)
 
 _SPANS_PATH = "resourceSpans item scopeSpans item spans item"
 _EVENTS_PATH = _SPANS_PATH + " events item"
@@ -101,8 +111,19 @@ class _Pools:
         """Encode this pool's unique payloads (children pools must already
         be fully built — call in topological order)."""
         entries = self.state.pool_entries.setdefault(pool_id, [])
+        uniques = self.uniques.get(pool_id, [])
+        if definition.type in (BYTES_T, STRING_T) and uniques:
+            # vectorized fast path: entry = varint(len) + raw payload
+            raws = [
+                v.encode("utf-8") if definition.type == STRING_T else bytes(v)
+                for v in uniques
+            ]
+            len_pieces = _varint_pieces(
+                np.fromiter((len(r) for r in raws), np.int64, len(raws)))
+            entries.extend(lp + r for lp, r in zip(len_pieces, raws))
+            return
         sizes_before = {pid: len(p) for pid, p in self.state.pools.items()}
-        for value in self.uniques.get(pool_id, []):
+        for value in uniques:
             payload = bytearray()
             _encode_payload(value, definition, pool_id, self.state, payload)
             entries.append(bytes(payload))
@@ -119,6 +140,16 @@ def _null_mask(col: np.ndarray) -> np.ndarray:
     return np.array(
         [v is None or is_null_value(v) for v in col], dtype=bool
     )
+
+
+def _null_mask_text(col) -> np.ndarray:
+    """Null mask for str/bytes columns: falsy ⇔ null-coerced (None/''/b'').
+
+    Exact for text types only — NOT for ints/bools/doubles (0 coerces but
+    False and 0.0 don't), hence the separate general `_null_mask`.
+    """
+    n = len(col)
+    return np.fromiter((not v for v in col), dtype=bool, count=n)
 
 
 def _int_null_mask(col: np.ndarray) -> np.ndarray:
@@ -157,6 +188,45 @@ def _code_cells(codes: np.ndarray) -> list[bytes]:
     if len(codes) and codes.min() < 0:
         raise CodecError("null value in a non-nullable pooled column")
     return _varint_pieces(codes)
+
+
+def _nullable_vcell_matrix(values: np.ndarray,
+                           null_mask: np.ndarray
+                           ) -> tuple[np.ndarray, np.ndarray]:
+    """Nullable varint cell as a padded matrix: col0 = presence flag,
+    cols 1..9 = varint bytes; length 1 when null else 1+varint length."""
+    vm, vl = encode_sleb128_matrix(values)
+    n = len(vl)
+    out = np.empty((n, 10), dtype=np.uint8)
+    out[:, 0] = (~null_mask).astype(np.uint8)
+    out[:, 1:] = vm
+    lengths = np.where(null_mask, 1, vl.astype(np.int64) + 1)
+    return out, lengths
+
+
+def _nullable_code_matrix(codes: np.ndarray
+                          ) -> tuple[np.ndarray, np.ndarray]:
+    return _nullable_vcell_matrix(np.maximum(codes, 0), codes < 0)
+
+
+def _code_matrix(codes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    if len(codes) and codes.min() < 0:
+        raise CodecError("null value in a non-nullable pooled column")
+    mat, k = encode_sleb128_matrix(codes)
+    return mat, k.astype(np.int64)
+
+
+def _pieces_matrix(cells: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
+    """Variable-length per-row bytes → padded matrix (mask-scatter)."""
+    n = len(cells)
+    lengths = np.fromiter((len(c) for c in cells), np.int64, n)
+    w = int(lengths.max()) if n else 0
+    out = np.zeros((n, max(w, 1)), dtype=np.uint8)
+    if n:
+        flat = np.frombuffer(b"".join(cells), dtype=np.uint8)
+        sel = np.arange(max(w, 1))[None, :] < lengths[:, None]
+        out[sel] = flat
+    return out, lengths
 
 
 def _diff_series(values: np.ndarray) -> np.ndarray:
@@ -357,7 +427,7 @@ def encode_span_dataframe(
         [None if m else v for m, v in zip(ev_attr_mask, ev_attrs)],
     )
     ev_names = np.array([e.get("name") for e in flat_events], dtype=object)
-    ev_name_mask = _null_mask(ev_names)
+    ev_name_mask = _null_mask_text(ev_names)
     ev_name_codes = pools.build(
         _EVENTS_PATH + " name",
         [None if m else v for m, v in zip(ev_name_mask, ev_names)],
@@ -372,10 +442,10 @@ def encode_span_dataframe(
     )
 
     # shared pools: spanId ← parentSpanId + spanId + links.spanId columns
-    parent_mask = _null_mask(parent_span_id)
-    span_id_mask = _null_mask(span_id)
+    parent_mask = _null_mask_text(parent_span_id)
+    span_id_mask = _null_mask_text(span_id)
     ln_span_ids = _coerce_bytes([l.get("spanId") for l in flat_links])
-    ln_span_mask = _null_mask(ln_span_ids)
+    ln_span_mask = _null_mask_text(ln_span_ids)
     n_parent, n_span = len(parent_span_id), len(span_id)
     span_pool_codes = pools.build(
         "spanId",
@@ -396,11 +466,11 @@ def encode_span_dataframe(
     ln_trace_codes = trace_pool_codes[n:]
 
     ts_col = np.asarray(col["trace_state"], dtype=object)
-    ts_mask = _null_mask(ts_col)
+    ts_mask = _null_mask_text(ts_col)
     ln_states = np.array(
         [l.get("traceState") for l in flat_links], dtype=object
     )
-    ln_state_mask = _null_mask(ln_states)
+    ln_state_mask = _null_mask_text(ln_states)
     state_pool_codes = pools.build(
         "traceState",
         list(np.where(ts_mask, None, ts_col))
@@ -417,7 +487,7 @@ def encode_span_dataframe(
                              scalar=True)
 
     msg_col = np.asarray(col["status_message"], dtype=object)
-    msg_mask = _null_mask(msg_col)
+    msg_mask = _null_mask_text(msg_col)
     pools.build(
         _SPANS_PATH + " status message",
         list(np.where(msg_mask, None, msg_col)),
@@ -482,90 +552,101 @@ def encode_span_dataframe(
                 pool_id, field_path_to_definition(pool_id, definition)
             )
 
-    # ---- span cells (document field order = sorted field names) -------
-    cells: list[list[bytes]] = []
-    cells.append(_nullable_code_cells(span_attr_codes))            # attributes
-    cells.append(_nullable_varint_cells(
-        col["dropped_attributes_count"],
-        _int_null_mask(col["dropped_attributes_count"])))
-    cells.append(_nullable_varint_cells(
-        col["dropped_events_count"],
-        _int_null_mask(col["dropped_events_count"])))
-    cells.append(_nullable_varint_cells(
-        col["dropped_links_count"],
-        _int_null_mask(col["dropped_links_count"])))
-    end_pieces = _varint_pieces(_diff_series(col["end_ns"]))       # endTime
+    # ---- span cells as padded matrices (field order = sorted names) ---
+    # every cell column becomes a (n, w) uint8 matrix + per-row lengths;
+    # one hstack + one boolean mask-select flattens the whole span stream
+    # row-major with zero per-row Python.
+    fields: list[tuple[np.ndarray, np.ndarray]] = []
+    fields.append(_nullable_code_matrix(span_attr_codes))       # attributes
+    for c in ("dropped_attributes_count", "dropped_events_count",
+              "dropped_links_count"):
+        fields.append(_nullable_vcell_matrix(
+            np.where(_int_null_mask(col[c]), 0,
+                     col[c]).astype(np.int64),
+            _int_null_mask(col[c])))
+    fields.append(
+        encode_sleb128_matrix(_diff_series(col["end_ns"])))     # endTime
 
-    # events cell: per-event item bytes, regrouped per span
-    ev_times = np.array(
-        [e.get("timeUnixNano") for e in flat_events], dtype=object
-    )
-    ev_time_mask = _int_null_mask(ev_times)
-    ev_time_cells = _nullable_diff_cells(
-        [0 if v is None else v for v in ev_times], ev_time_mask
-    )
-    ev_dropped = np.array(
-        [e.get("droppedAttributesCount") or 0 for e in flat_events]
-    )
-    ev_item_bytes = [
-        a + d + nm + t
-        for a, d, nm, t in zip(
-            _nullable_code_cells(ev_attr_codes),
-            _nullable_varint_cells(ev_dropped, _int_null_mask(ev_dropped)),
-            _nullable_code_cells(ev_name_codes),
-            ev_time_cells,
+    # events cell: per-event item bytes, regrouped per span (sparse path)
+    if flat_events:
+        ev_times = np.array(
+            [e.get("timeUnixNano") for e in flat_events], dtype=object
         )
-    ]
-    events_cells, pos = [], 0
-    for lst in ev_lists:
-        if lst is None:
-            events_cells.append(b"\x00")
-        else:
-            k = len(lst)
-            events_cells.append(
-                b"\x01" + encode_sleb128(k) + b"".join(
-                    ev_item_bytes[pos:pos + k])
+        ev_time_mask = _int_null_mask(ev_times)
+        ev_time_cells = _nullable_diff_cells(
+            [0 if v is None else v for v in ev_times], ev_time_mask
+        )
+        ev_dropped = np.array(
+            [e.get("droppedAttributesCount") or 0 for e in flat_events]
+        )
+        ev_item_bytes = [
+            a + d + nm + t
+            for a, d, nm, t in zip(
+                _nullable_code_cells(ev_attr_codes),
+                _nullable_varint_cells(ev_dropped,
+                                       _int_null_mask(ev_dropped)),
+                _nullable_code_cells(ev_name_codes),
+                ev_time_cells,
             )
-            pos += k
-    cells.append(events_cells)
+        ]
+        events_cells, pos = [], 0
+        for lst in ev_lists:
+            if lst is None:
+                events_cells.append(b"\x00")
+            else:
+                k = len(lst)
+                events_cells.append(
+                    b"\x01" + encode_sleb128(k) + b"".join(
+                        ev_item_bytes[pos:pos + k])
+                )
+                pos += k
+        fields.append(_pieces_matrix(events_cells))
+    else:
+        fields.append((np.zeros((n, 1), dtype=np.uint8),
+                       np.ones(n, dtype=np.int64)))             # all null
 
-    cells.append(_nullable_varint_cells(
-        col["kind"], _int_null_mask(col["kind"])))                 # kind
+    fields.append(_nullable_vcell_matrix(
+        np.where(_int_null_mask(col["kind"]), 0, col["kind"])
+        .astype(np.int64),
+        _int_null_mask(col["kind"])))                           # kind
 
-    ln_code_pieces = _code_cells(ln_item_codes)                    # links
-    links_cells, pos = [], 0
-    for lst in ln_lists:
-        if lst is None:
-            links_cells.append(b"\x00")
-        else:
-            k = len(lst)
-            links_cells.append(
-                b"\x01" + encode_sleb128(k) + b"".join(
-                    ln_code_pieces[pos:pos + k])
-            )
-            pos += k
-    cells.append(links_cells)
+    if flat_links:                                              # links
+        ln_code_pieces = _code_cells(ln_item_codes)
+        links_cells, pos = [], 0
+        for lst in ln_lists:
+            if lst is None:
+                links_cells.append(b"\x00")
+            else:
+                k = len(lst)
+                links_cells.append(
+                    b"\x01" + encode_sleb128(k) + b"".join(
+                        ln_code_pieces[pos:pos + k])
+                )
+                pos += k
+        fields.append(_pieces_matrix(links_cells))
+    else:
+        fields.append((np.zeros((n, 1), dtype=np.uint8),
+                       np.ones(n, dtype=np.int64)))
 
-    cells.append(_code_cells(name_codes))                          # name
-    cells.append(_nullable_code_cells(parent_codes))               # parentSpanId
-    cells.append(_nullable_code_cells(span_codes))                 # spanId
-    start_pieces = _varint_pieces(_diff_series(col["start_ns"]))   # startTime
-    cells.append(_code_cells(status_codes))                        # status
-    cells.append(_code_cells(trace_codes))                         # traceId
-    cells.append(_nullable_code_cells(ts_codes))                   # traceState
+    fields.append(_code_matrix(name_codes))                     # name
+    fields.append(_nullable_code_matrix(parent_codes))          # parentSpanId
+    fields.append(_nullable_code_matrix(span_codes))            # spanId
+    fields.append(
+        encode_sleb128_matrix(_diff_series(col["start_ns"])))   # startTime
+    fields.append(_code_matrix(status_codes))                   # status
+    fields.append(_code_matrix(trace_codes))                    # traceId
+    fields.append(_nullable_code_matrix(ts_codes))              # traceState
 
-    (attr_c, datt_c, devt_c, dlnk_c, events_c, kind_c, links_c, name_c,
-     parent_c, spanid_c, status_c, traceid_c, tracestate_c) = cells
-
-    span_bytes = [
-        b"".join((
-            attr_c[i], datt_c[i], devt_c[i], dlnk_c[i], end_pieces[i],
-            events_c[i], kind_c[i], links_c[i], name_c[i], parent_c[i],
-            spanid_c[i], start_pieces[i], status_c[i], traceid_c[i],
-            tracestate_c[i],
-        ))
-        for i in range(n)
-    ]
+    big = np.hstack([m for m, _ in fields])
+    mask = np.hstack([
+        np.arange(m.shape[1])[None, :] < np.asarray(l, dtype=np.int64)[:, None]
+        for m, l in fields
+    ])
+    flat_spans = big[mask].tobytes()
+    row_bytes = np.sum([np.asarray(l, dtype=np.int64) for _, l in fields],
+                       axis=0)
+    row_offsets = np.concatenate(
+        [[0], np.cumsum(row_bytes, dtype=np.int64)])
 
     # ---- data stream: root → resourceSpans → groups -------------------
     data = bytearray()
@@ -597,7 +678,8 @@ def encode_span_dataframe(
             else:
                 data.append(1)
                 data += encode_sleb128(size)
-                data += b"".join(span_bytes[offset:offset + size])
+                data += flat_spans[row_offsets[offset]:
+                                   row_offsets[offset + size]]
             offset += size
 
     # ---- meta block + frame (same layout as encoder.encode) -----------

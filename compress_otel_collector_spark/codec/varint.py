@@ -86,15 +86,18 @@ def sleb128_lengths(values: np.ndarray) -> np.ndarray:
     return k
 
 
-def encode_sleb128_array(values: np.ndarray) -> tuple[bytes, np.ndarray]:
-    """Encode an int64 array; returns (concatenated bytes, lengths).
+def encode_sleb128_matrix(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Encode an int64 array into a padded (n, 9) uint8 matrix + lengths.
 
-    Byte-identical to calling :func:`encode_sleb128` per value.
+    Row i's first lengths[i] bytes are the sleb128 encoding of values[i]
+    (trailing cells undefined). The padded form lets callers assemble many
+    varint columns into one wide matrix and flatten with a single
+    mask-select — no per-value bytes objects.
     """
     v = np.ascontiguousarray(values, dtype=np.int64)
     n = v.shape[0]
     if n == 0:
-        return b"", np.zeros(0, dtype=np.uint8)
+        return np.zeros((0, 9), dtype=np.uint8), np.zeros(0, dtype=np.uint8)
     k = sleb128_lengths(v)
     mat = np.empty((n, 9), dtype=np.uint8)
     shifted = v.copy()
@@ -105,6 +108,17 @@ def encode_sleb128_array(values: np.ndarray) -> tuple[bytes, np.ndarray]:
     cols = np.arange(8, dtype=np.uint8)
     cont = cols[None, :] < (np.minimum(k, 9) - 1)[:, None]
     mat[:, :8] |= cont.astype(np.uint8) << 7
+    return mat, k
+
+
+def encode_sleb128_array(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """Encode an int64 array; returns (concatenated bytes, lengths).
+
+    Byte-identical to calling :func:`encode_sleb128` per value.
+    """
+    mat, k = encode_sleb128_matrix(values)
+    if mat.shape[0] == 0:
+        return b"", k
     sel = np.arange(9, dtype=np.uint8)[None, :] < k[:, None]
     flat = mat.reshape(-1)[sel.reshape(-1)]
     return flat.tobytes(), k
