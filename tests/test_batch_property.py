@@ -1,0 +1,70 @@
+"""Property-based batch↔scalar equivalence over randomized span batches."""
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings, strategies as st
+
+from compress_otel_collector_spark.codec import decode, encode, normalize, \
+    trace_model
+from compress_otel_collector_spark.codec.batch import encode_span_dataframe
+from tests.test_batch_codec import pdf_to_document
+
+T = 1_700_000_000_000_000_000
+
+_attr_value = st.one_of(
+    st.integers(min_value=-(2**63), max_value=2**63 - 1),
+    st.booleans(),
+    st.floats(allow_nan=False, allow_infinity=False, width=64),
+    st.binary(max_size=8),
+    st.text(max_size=12),
+    st.none(),
+)
+
+
+@st.composite
+def span_rows(draw):
+    n = draw(st.integers(min_value=1, max_value=12))
+    rows = []
+    for i in range(n):
+        has_events = draw(st.booleans())
+        events = []
+        if has_events:
+            for j in range(draw(st.integers(1, 2))):
+                events.append({
+                    "timeUnixNano": draw(st.integers(0, 2**62)),
+                    "name": draw(st.text(max_size=6)),
+                    "attributes": draw(st.dictionaries(
+                        st.text(max_size=5), _attr_value, max_size=2)),
+                    "droppedAttributesCount": draw(st.integers(0, 3)),
+                })
+        rows.append({
+            "trace_id": draw(st.binary(min_size=0, max_size=16)),
+            "span_id": draw(st.binary(min_size=0, max_size=8)),
+            "parent_span_id": draw(st.binary(min_size=0, max_size=8)),
+            "trace_state": draw(st.text(max_size=8)),
+            "name": draw(st.text(max_size=8)),
+            "kind": draw(st.integers(0, 5)),
+            "start_ns": T + draw(st.integers(-10**6, 10**6)),
+            "end_ns": T + draw(st.integers(-10**6, 10**6)),
+            "attributes": draw(st.dictionaries(
+                st.text(max_size=6), _attr_value, max_size=3)),
+            "dropped_attributes_count": draw(st.integers(0, 2)),
+            "events": events,
+            "dropped_events_count": draw(st.integers(0, 2)),
+            "links": [],
+            "dropped_links_count": 0,
+            "status_message": draw(st.text(max_size=6)),
+            "status_code": draw(st.integers(0, 2)),
+            "lang": draw(st.sampled_from(["en", "zh", "de"])),
+        })
+    return pd.DataFrame(rows)
+
+
+@settings(max_examples=40, deadline=None)
+@given(pdf=span_rows(), grouped=st.booleans())
+def test_batch_equals_scalar_on_random_batches(pdf, grouped):
+    group_col = "lang" if grouped else None
+    blob = encode_span_dataframe(pdf, group_col=group_col)
+    doc = pdf_to_document(pdf, group_col=group_col)
+    m = trace_model()
+    assert decode(blob, m) == decode(encode(doc, m), m) == normalize(doc, m)
