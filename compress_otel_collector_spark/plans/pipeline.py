@@ -363,7 +363,29 @@ def run_pipeline(
     ``resume=True`` skips (lang, host_bucket) routes whose partition dirs
     already exist — rerunning after a partial failure recomputes only the
     missing routes (per-partition lineage = the blob rows themselves).
+    A ``_pipeline_meta.json`` marker pins the sink's bucket layout:
+    resuming with a different ``n_buckets`` would silently split routes
+    across two bucketings, so it raises instead.
     """
+    import json
+    import os
+
+    meta_path = os.path.join(out_dir, "_pipeline_meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            prior = json.load(f)
+        if prior.get("n_buckets") != n_buckets:
+            raise ValueError(
+                f"sink at {out_dir} was written with n_buckets="
+                f"{prior.get('n_buckets')}; resuming with n_buckets="
+                f"{n_buckets} would mix bucket layouts — pass the original "
+                "value or use a fresh output dir"
+            )
+    else:
+        os.makedirs(out_dir, exist_ok=True)
+        with open(meta_path, "w") as f:
+            json.dump({"n_buckets": n_buckets}, f)
+
     parsed = parse_stage(pages, use_pandas_udf=use_pandas_udf_parse)
     enriched = enrich_stage(parsed, spark, n_buckets=n_buckets)
     spans = span_stage(enriched)

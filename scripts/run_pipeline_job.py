@@ -22,6 +22,17 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
+
+# Local invocation (`python scripts/run_pipeline_job.py`) puts scripts/ on
+# sys.path, not the repo root; on a cluster --py-files provides the package.
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO_ROOT not in sys.path:
+    try:
+        import compress_otel_collector_spark  # noqa: F401
+    except ModuleNotFoundError:
+        sys.path.insert(0, _REPO_ROOT)
 
 
 def main() -> None:
