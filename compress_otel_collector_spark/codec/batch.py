@@ -263,6 +263,12 @@ def _string_pool_codes(values, st: _State) -> np.ndarray:
     factorize (only the per-unique mapping touches the dict)."""
     codes, uniques = pd.factorize(
         pd.Series(np.asarray(values, dtype=object)))
+    if len(codes) and (codes < 0).any():
+        # factorize maps None/NaN to -1; indexing mapped[-1] would silently
+        # substitute the last pool entry — corrupt output, so refuse loudly.
+        raise CodecError(
+            "null value in a 'str' attributes column — drop or fill nulls "
+            "before encoding (free-map entries are omitted, not null)")
     sp = st.string_pool
     mapped = np.empty(len(uniques), dtype=np.int64)
     for i, u in enumerate(uniques):

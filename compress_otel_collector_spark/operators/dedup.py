@@ -38,8 +38,13 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
 
 def word_shingles(df: DataFrame, n: int = 3, text_col: str = "text",
                   id_col: str = "doc_id") -> DataFrame:
-    """Distinct word n-gram shingles per document (empty texts drop out)."""
-    toks = F.split(F.col(text_col), " ")
+    """Distinct word n-gram shingles per document (empty texts drop out).
+
+    Empty tokens (consecutive/leading/trailing spaces) are dropped before
+    shingling — in lockstep with ``textstats._tokens`` and the DuckDB oracle
+    CTE (``list_filter(t <> '')``).
+    """
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
     shingle = F.transform(
         F.sequence(F.lit(0), F.size(toks) - n),
         lambda i: F.concat_ws(

@@ -148,8 +148,16 @@ def _encode_batches(arms: bool, events_every: int = 10):
                 # encodes the free-map pool entries columnwise
                 spans["attr:http.url"] = g["url"].to_numpy()
                 spans["attr:http.status_code"] = 200
-                spans["attr:lang"] = lang
                 spans["attr:n_chars"] = g["n_chars"].to_numpy()
+                attrs_spec = {
+                    "http.url": "str", "http.status_code": "int",
+                    "n_chars": "int",
+                }
+                # a null-lang group (unmatched routing key) simply omits the
+                # attribute — free-map entries are absent, never null
+                if lang is not None and not pd.isna(lang):
+                    spans["attr:lang"] = lang
+                    attrs_spec["lang"] = "str"
                 if events_every:
                     doc_ids = g["doc_id"].to_numpy()
                     starts = g["start_ns"].to_numpy()
@@ -165,10 +173,7 @@ def _encode_batches(arms: bool, events_every: int = 10):
                 spans["links"] = None
                 blob = encode_span_dataframe(
                     spans,
-                    attributes_spec={
-                        "http.url": "str", "http.status_code": "int",
-                        "lang": "str", "n_chars": "int",
-                    },
+                    attributes_spec=attrs_spec,
                     resource_attrs_for=lambda _k: {
                         "service.name": f"crawler-{lang}",
                         "host.bucket": int(bucket),
@@ -348,6 +353,43 @@ def roundtrip_check(encoded: DataFrame) -> DataFrame:
     return encoded.mapInPandas(fn, schema=_ROUNDTRIP_SCHEMA)
 
 
+def _hadoop_fs(spark: SparkSession, path_str: str):
+    """(FileSystem, Path) for any URI scheme the cluster knows (file/s3/hdfs).
+
+    The resume meta marker must work on object stores too — local
+    ``os.path`` APIs silently never fire on ``s3://`` paths.
+    """
+    jvm = spark.sparkContext._jvm
+    path = jvm.org.apache.hadoop.fs.Path(path_str)
+    fs = path.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return fs, path, jvm
+
+
+def _read_meta(spark: SparkSession, meta_path_str: str) -> Optional[dict]:
+    import json
+
+    fs, path, jvm = _hadoop_fs(spark, meta_path_str)
+    if not fs.exists(path):
+        return None
+    stream = fs.open(path)
+    try:
+        data = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+    finally:
+        stream.close()
+    return json.loads(data.decode("utf-8"))
+
+
+def _write_meta(spark: SparkSession, meta_path_str: str, meta: dict) -> None:
+    import json
+
+    fs, path, _ = _hadoop_fs(spark, meta_path_str)
+    out = fs.create(path, True)
+    try:
+        out.write(bytearray(json.dumps(meta).encode("utf-8")))
+    finally:
+        out.close()
+
+
 def run_pipeline(
     spark: SparkSession,
     pages: DataFrame,
@@ -367,13 +409,9 @@ def run_pipeline(
     resuming with a different ``n_buckets`` would silently split routes
     across two bucketings, so it raises instead.
     """
-    import json
-    import os
-
-    meta_path = os.path.join(out_dir, "_pipeline_meta.json")
-    if os.path.exists(meta_path):
-        with open(meta_path) as f:
-            prior = json.load(f)
+    meta_path = f"{out_dir.rstrip('/')}/_pipeline_meta.json"
+    prior = _read_meta(spark, meta_path)
+    if prior is not None:
         if prior.get("n_buckets") != n_buckets:
             raise ValueError(
                 f"sink at {out_dir} was written with n_buckets="
@@ -382,9 +420,7 @@ def run_pipeline(
                 "value or use a fresh output dir"
             )
     else:
-        os.makedirs(out_dir, exist_ok=True)
-        with open(meta_path, "w") as f:
-            json.dump({"n_buckets": n_buckets}, f)
+        _write_meta(spark, meta_path, {"n_buckets": n_buckets})
 
     parsed = parse_stage(pages, use_pandas_udf=use_pandas_udf_parse)
     enriched = enrich_stage(parsed, spark, n_buckets=n_buckets)
@@ -392,8 +428,14 @@ def run_pipeline(
     if resume:
         done = completed_sinks(spark, out_dir)
         if done is not None:
-            spans = spans.join(F.broadcast(done), ["lang", "host_bucket"],
-                               "left_anti")
+            # null-safe: unmatched-lang rows route with lang = NULL; a plain
+            # equality anti-join would never match them against completed
+            # routes and re-append them on every resume.
+            cond = (
+                spans["lang"].eqNullSafe(done["lang"])
+                & spans["host_bucket"].eqNullSafe(done["host_bucket"])
+            )
+            spans = spans.join(F.broadcast(done), cond, "left_anti")
     encoded = encode_stage(spans, n_salts=n_salts, arms=arms)
     route_stage(encoded, out_dir)
     return aggregate_stage(read_routed(spark, out_dir))

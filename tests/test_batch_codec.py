@@ -203,3 +203,15 @@ def test_dictionary_compression_wins():
 
 def test_all_columns_documented():
     assert set(SPAN_COLUMNS) <= set(make_pdf(1).columns)
+
+
+def test_null_str_attribute_raises():
+    """A null in a 'str' attr: column must raise, not corrupt (factorize
+    maps NaN to code -1, which would silently alias the last pool entry)."""
+    from compress_otel_collector_spark.codec.values import CodecError
+
+    pdf = make_pdf(4, with_events=False, with_links=False)
+    pdf = pdf.drop(columns=["attributes"])
+    pdf["attr:http.url"] = ["a", "b", None, "d"]
+    with pytest.raises(CodecError, match="null value"):
+        encode_span_dataframe(pdf, attributes_spec={"http.url": "str"})

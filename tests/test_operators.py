@@ -148,3 +148,22 @@ class TestTokenStats:
         assert rows[1]["ws_tokens"] == 0
         assert rows[1]["bpe_ish_tokens"] == 0
         assert rows[2]["ws_tokens"] == 3
+
+
+class TestShingleTokenization:
+    def test_multi_space_text_matches_filtered_tokens(self, spark):
+        """Lockstep with the DuckDB oracle: empty tokens (runs of spaces)
+        never form shingles (ADVICE r1: split keeps '' tokens; filter them)."""
+        from compress_otel_collector_spark.operators.dedup import (
+            word_shingles,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "a  b c   d"), (2, " x y z "), (3, "only  two")],
+            "doc_id long, text string",
+        )
+        got = {
+            (r["doc_id"], r["shingle"])
+            for r in word_shingles(df, n=3).collect()
+        }
+        assert got == {(1, "a b c"), (1, "b c d"), (2, "x y z")}

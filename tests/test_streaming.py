@@ -34,3 +34,34 @@ def test_streaming_drain_and_resume(spark, tmp_path):
     total3 = read_routed(spark, out_dir).agg(
         F.sum("n_spans")).collect()[0][0]
     assert total3 == 400
+
+
+def test_stream_batch_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: replaying a batch id must overwrite
+    its own partitions, not append duplicates (dynamic partition overwrite
+    on the leading batch_id column)."""
+    from compress_otel_collector_spark.plans.pipeline import (
+        encode_stage,
+        enrich_stage,
+        parse_stage,
+        span_stage,
+    )
+    from compress_otel_collector_spark.streaming.stream import (
+        route_stream_batch,
+    )
+
+    out_dir = str(tmp_path / "out")
+    pages = synthetic_pages(spark, 120, partitions=2)
+    spans = span_stage(enrich_stage(parse_stage(pages), spark))
+    encoded = encode_stage(spans, n_salts=2, arms=False)
+
+    route_stream_batch(encoded, out_dir, batch_id=0)
+    total1 = read_routed(spark, out_dir).agg(F.sum("n_spans")).collect()[0][0]
+    route_stream_batch(encoded, out_dir, batch_id=0)  # simulated replay
+    total2 = read_routed(spark, out_dir).agg(F.sum("n_spans")).collect()[0][0]
+    assert total1 == total2 == 120
+
+    # a *new* batch id still appends
+    route_stream_batch(encoded, out_dir, batch_id=1)
+    total3 = read_routed(spark, out_dir).agg(F.sum("n_spans")).collect()[0][0]
+    assert total3 == 240
