@@ -2,11 +2,13 @@ from .dedup import (  # noqa: F401
     dedup_keep_first,
     embedding_dup_pairs,
     exact_dedup,
+    lsh_hot_buckets,
     minhash_lsh_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
     simhash,
     simhash_dup_groups,
+    simhash_hamming_pairs,
     word_shingles,
 )
 from .similarity import (  # noqa: F401

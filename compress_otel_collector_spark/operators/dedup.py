@@ -110,13 +110,9 @@ def minhash_signatures(df: DataFrame, num_hashes: int = 8,
     )
 
 
-def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 8, bands: int = 2,
-                      n: int = 3) -> DataFrame:
-    """LSH candidate pairs: docs sharing any band of minhash components.
-
-    rows-per-band = num_hashes/bands; a pair collides on a band iff all its
-    components match — the classic banding scheme (prob ≈ 1-(1-j^r)^b).
-    """
+def _lsh_stacked(df: DataFrame, num_hashes: int, bands: int,
+                 n: int) -> DataFrame:
+    """(doc_id, bucket) rows — one row per document per band."""
     sigs = minhash_signatures(df, num_hashes=num_hashes, n=n)
     r = num_hashes // bands
     band_cols = [
@@ -125,7 +121,7 @@ def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 8, bands: int = 2,
         for b in range(bands)
     ]
     banded = sigs.select("doc_id", *band_cols)
-    stacked = banded.select(
+    return banded.select(
         "doc_id",
         F.explode(
             F.array(*[
@@ -134,6 +130,48 @@ def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 8, bands: int = 2,
             ])
         ).alias("bucket"),
     )
+
+
+def lsh_hot_buckets(df: DataFrame, max_bucket: int, num_hashes: int = 8,
+                    bands: int = 2, n: int = 3) -> DataFrame:
+    """Buckets whose membership exceeds ``max_bucket`` (the dropped mass).
+
+    Standard LSH practice: a degenerate band value (e.g. thousands of
+    near-empty docs sharing one minhash band) makes that bucket's self-join
+    quadratic; production runs cap the bucket size, drop the hot buckets
+    from candidate generation, and report them here so the dropped mass is
+    observable rather than silent.
+    """
+    return (
+        _lsh_stacked(df, num_hashes, bands, n)
+        .groupBy("bucket").agg(F.count("*").alias("bucket_size"))
+        .where(F.col("bucket_size") > max_bucket)
+    )
+
+
+def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 8, bands: int = 2,
+                      n: int = 3,
+                      max_bucket: int | None = None) -> DataFrame:
+    """LSH candidate pairs: docs sharing any band of minhash components.
+
+    rows-per-band = num_hashes/bands; a pair collides on a band iff all its
+    components match — the classic banding scheme (prob ≈ 1-(1-j^r)^b).
+
+    ``max_bucket`` caps the self-join fan-out: buckets larger than the cap
+    are dropped before pairing (see :func:`lsh_hot_buckets` for what was
+    dropped). The hot-bucket list is tiny by construction — at most
+    n_rows·bands/max_bucket entries — so the anti-join broadcasts; the
+    skewed key never reaches the pairwise join.
+    """
+    stacked = _lsh_stacked(df, num_hashes, bands, n)
+    if max_bucket is not None:
+        hot = (
+            stacked.groupBy("bucket")
+            .agg(F.count("*").alias("bucket_size"))
+            .where(F.col("bucket_size") > max_bucket)
+            .select("bucket")
+        )
+        stacked = stacked.join(F.broadcast(hot), "bucket", "left_anti")
     return (
         stacked.alias("a")
         .join(stacked.alias("b"),
@@ -173,6 +211,51 @@ def simhash(df: DataFrame, bits: int = 16, text_col: str = "text",
         for i in range(bits)
     )
     return agg.select("doc_id", fingerprint.alias("simhash"))
+
+
+def simhash_hamming_pairs(df: DataFrame, max_distance: int = 3,
+                          bits: int = 16) -> DataFrame:
+    """Near-dup pairs within hamming distance ``max_distance`` of SimHash.
+
+    Banding on the fingerprint: the 16-bit fingerprint splits into 4
+    nibbles; ≤3 differing bits touch ≤3 nibbles, so every pair within
+    distance 3 shares at least one (band, nibble) bucket — full recall by
+    the pigeonhole argument. Candidates join only on bucket-mates (the
+    same bucketed shape as MinHash-LSH, never all-pairs), then exact
+    ``bit_count(xor)`` verifies the distance.
+    """
+    n_bands = 4
+    width = bits // n_bands
+    s = simhash(df, bits=bits)
+    banded = s.select(
+        "doc_id", "simhash",
+        F.explode(F.array(*[
+            F.concat_ws(
+                ":", F.lit(str(b)),
+                F.shiftright(F.col("simhash"), b * width)
+                .bitwiseAND(F.lit((1 << width) - 1)).cast("string"))
+            for b in range(n_bands)
+        ])).alias("bucket"),
+    )
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"),
+              (F.col("a.bucket") == F.col("b.bucket"))
+              & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("a_id"),
+                F.col("a.simhash").alias("a_sim"),
+                F.col("b.doc_id").alias("b_id"),
+                F.col("b.simhash").alias("b_sim"))
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            F.bit_count(F.col("a_sim").bitwiseXOR(F.col("b_sim")))
+            .cast("long"))
+        .where(F.col("hamming") <= max_distance)
+        .select("a_id", "b_id", "hamming")
+    )
 
 
 def simhash_dup_groups(df: DataFrame, bits: int = 16) -> DataFrame:

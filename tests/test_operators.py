@@ -167,3 +167,79 @@ class TestShingleTokenization:
             for r in word_shingles(df, n=3).collect()
         }
         assert got == {(1, "a b c"), (1, "b c d"), (2, "x y z")}
+
+
+class TestLSHBucketCap:
+    def test_degenerate_bucket_is_dropped(self, spark, docs):
+        """1k identical short docs share every minhash band — without a cap
+        that bucket's self-join is ~500k pairs; with the cap it contributes
+        none and is reported as dropped mass."""
+        from compress_otel_collector_spark.operators.dedup import (
+            lsh_hot_buckets,
+            minhash_lsh_pairs,
+        )
+
+        degenerate = spark.range(1000).select(
+            (F.col("id") + 500000).alias("doc_id"),
+            F.lit("tiny degenerate doc text").alias("text"),
+        )
+        both = docs.select("doc_id", "text").unionByName(degenerate)
+
+        capped = minhash_lsh_pairs(both, max_bucket=100).where(
+            (F.col("a_id") >= 500000) & (F.col("b_id") >= 500000))
+        assert capped.count() == 0  # hot bucket never reaches the join
+
+        hot = lsh_hot_buckets(both, max_bucket=100).collect()
+        assert len(hot) >= 1
+        assert max(r["bucket_size"] for r in hot) >= 1000
+
+    def test_cap_noop_below_threshold(self, spark, docs):
+        """A cap larger than every bucket must not change the result."""
+        from compress_otel_collector_spark.operators.dedup import (
+            minhash_lsh_pairs,
+        )
+
+        base = {(r["a_id"], r["b_id"])
+                for r in minhash_lsh_pairs(docs).collect()}
+        capped = {(r["a_id"], r["b_id"])
+                  for r in minhash_lsh_pairs(docs, max_bucket=10**6)
+                  .collect()}
+        assert base == capped
+
+
+class TestSimHashHamming:
+    def test_identical_docs_distance_zero(self, spark, docs_with_dups):
+        from compress_otel_collector_spark.operators.dedup import (
+            simhash_hamming_pairs,
+        )
+
+        pairs = simhash_hamming_pairs(docs_with_dups).cache()
+        zero = pairs.where(
+            (F.col("hamming") == 0) & (F.col("b_id") >= 100000))
+        # every planted copy is at distance 0 from its original
+        assert zero.count() >= 19
+        assert pairs.where(F.col("hamming") > 3).count() == 0
+
+    def test_recall_within_distance(self, spark, docs):
+        """Banding guarantee: every pair at distance ≤3 appears (pigeonhole
+        over 4 nibbles) — cross-check against the all-pairs ground truth."""
+        from compress_otel_collector_spark.operators.dedup import (
+            simhash,
+            simhash_hamming_pairs,
+        )
+
+        small = docs.where(F.col("doc_id") < 80)
+        s = simhash(small)
+        truth = {
+            (r["a_id"], r["b_id"])
+            for r in s.alias("a").join(
+                s.alias("b"), F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("a_id"),
+                    F.col("b.doc_id").alias("b_id"),
+                    F.bit_count(F.col("a.simhash").bitwiseXOR(
+                        F.col("b.simhash"))).alias("d"))
+            .where(F.col("d") <= 3).collect()
+        }
+        got = {(r["a_id"], r["b_id"])
+               for r in simhash_hamming_pairs(small).collect()}
+        assert got == truth
