@@ -33,16 +33,28 @@ from compress_otel_collector_spark.plans.pipeline import (
     aggregate_stage,
     encode_stage,
     enrich_stage,
+    expected_roundtrip,
     parse_stage,
     roundtrip_check,
+    roundtrip_counts,
     span_stage,
 )
+from compress_otel_collector_spark.functions.columns import (
+    HOST_BUCKET_SQL,
+    host_bucket_expr,
+    host_of_url_expr,
+)
 from compress_otel_collector_spark.sources.tables import (
+    HOST_SQL,
     LANG_LOOKUP_SQL,
     lang_lookup,
     load_table,
     pages_from_documents,
 )
+
+#: the production route bucket over the documents-derived host, in DuckDB
+_BUCKET_SQL = HOST_BUCKET_SQL.format(
+    host=f"({HOST_SQL.format(id='doc_id')})", n=8)
 
 _HTML_SQL = (
     "'<html><head><title>T' || CAST(doc_id AS VARCHAR) || "
@@ -86,10 +98,14 @@ def _q_parse_extract(spark, sf_dir):
 
 
 def _q_route_counts(spark, sf_dir):
+    """Route fan-out counts using the PRODUCTION bucket function — host is
+    parsed back out of the url and bucketed by md5, exactly as the pipeline
+    routes (functions/columns.py:host_bucket_expr), oracle-verified."""
     pages = pages_from_documents(spark, sf_dir)
+    host = host_of_url_expr("url")
     return (
-        pages.groupBy(
-            "lang", F.pmod(F.col("doc_id"), 8).cast("int").alias("bucket"))
+        pages.withColumn("host", host)
+        .groupBy("lang", host_bucket_expr("host", 8).alias("bucket"))
         .agg(F.count("*").alias("n_pages"))
     )
 
@@ -388,29 +404,38 @@ def _q_fingerprint(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 def _q_codec_roundtrip(spark, sf_dir):
-    """Encode + decode the whole pages table; mismatches must be 0."""
+    """Encode + decode the whole pages table; mismatches must be 0.
+
+    Full-fidelity: every span field the reference receiver rebuilds
+    (trace.go:61-187) — ids, trace state, status message, dropped counts,
+    events (time/name/attributes), links, resource attrs, scope — crosses
+    the equality gate, in ONE Spark job (r1 verdict: the old shape ran 3
+    actions over an unpersisted lineage and re-encoded everything 3×).
+    """
     pages = pages_from_documents(spark, sf_dir)
     spans = span_stage(enrich_stage(parse_stage(pages), spark))
     encoded = encode_stage(spans, n_salts=4, arms=False)
-    decoded = roundtrip_check(encoded)
-    expected = spans.select(
-        "url", "lang", "name",
-        F.when(F.col("kind") == 0, None).otherwise(F.col("kind"))
-        .alias("kind"),
-        "start_ns", "end_ns", "status_code", "n_chars",
-        F.when(F.col("doc_id") % 10 == 0, 1).otherwise(0)
-        .cast("long").alias("n_events"),
-    )
-    cols = decoded.columns
-    missing = expected.select(cols).exceptAll(decoded.select(cols)).count()
-    extra = decoded.select(cols).exceptAll(expected.select(cols)).count()
-    return spark.createDataFrame(
-        [(decoded.count(), missing, extra)],
-        "decoded_spans long, missing long, extra long",
-    )
+    return roundtrip_counts(roundtrip_check(encoded),
+                            expected_roundtrip(spans))
 
 
 def _q_pipeline_sinks(spark, sf_dir):
+    """Per-sink page counts THROUGH the real pipeline (parse → enrich →
+    encode → aggregate): sums the n_spans lineage of every encoded blob per
+    (lang, host_bucket) route. The DuckDB oracle recomputes the same counts
+    straight from documents — so the encode/route hop is verified to neither
+    drop nor duplicate pages, and the production md5 bucket is exact."""
+    pages = pages_from_documents(spark, sf_dir)
+    spans = span_stage(enrich_stage(parse_stage(pages), spark))
+    encoded = encode_stage(spans, n_salts=4, arms=False)
+    return (
+        encoded.groupBy("lang", "host_bucket")
+        .agg(F.sum("n_spans").alias("pages"))
+    )
+
+
+def _q_pipeline_arms(spark, sf_dir):
+    """Compression-arm byte metrics per sink (codec outputs — no SQL twin)."""
     pages = pages_from_documents(spark, sf_dir)
     spans = span_stage(enrich_stage(parse_stage(pages), spark))
     return aggregate_stage(encode_stage(spans, n_salts=4, arms=True))
@@ -469,9 +494,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": _q_quality_score,
         "token_count": _q_token_count,
         "fingerprint": _q_fingerprint,
+        "pipeline_sinks": _q_pipeline_sinks,
         # non-SQL-expressible (rows-only checks)
         "codec_roundtrip": _q_codec_roundtrip,
-        "pipeline_sinks": _q_pipeline_sinks,
+        "pipeline_arms": _q_pipeline_arms,
         "lsh_similarity": _q_lsh_similarity,
         "multimodal_features": _q_multimodal_features,
     }
@@ -547,9 +573,14 @@ def oracle_sql() -> dict[str, str]:
                        AS ok
             FROM documents
         """,
-        "route_counts": """
-            SELECT lang, CAST(doc_id % 8 AS INT) AS bucket,
+        "route_counts": f"""
+            SELECT lang, {_BUCKET_SQL} AS bucket,
                    count(*) AS n_pages
+            FROM documents GROUP BY 1, 2
+        """,
+        "pipeline_sinks": f"""
+            SELECT lang, {_BUCKET_SQL} AS host_bucket,
+                   count(*) AS pages
             FROM documents GROUP BY 1, 2
         """,
         "enrich_lookup": f"""

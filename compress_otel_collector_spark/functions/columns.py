@@ -42,9 +42,24 @@ def host_of_url_expr(url_col: str = "url") -> Column:
 
 
 def host_bucket_expr(host_col: str = "host", n_buckets: int = 8) -> Column:
-    """Stable route bucket. ``pmod(xxhash64)`` so buckets survive cluster
-    resizes (unlike hashpartitioning's internal seed-dependent layout)."""
-    return F.pmod(F.xxhash64(F.col(host_col)), F.lit(n_buckets)).cast("int")
+    """Stable route bucket: first 32 bits of md5(host), mod n_buckets.
+
+    md5-derived (not xxhash64) for two reasons: buckets survive cluster
+    resizes (unlike hashpartitioning's seed-dependent layout), and md5 is
+    bit-identical in DuckDB, so the production bucket function itself is
+    oracle-verified (HOST_BUCKET_SQL is the lockstep twin)."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(F.col(host_col)), 1, 8), 16, 10)
+        .cast("long"),
+        F.lit(n_buckets),
+    ).cast("int")
+
+
+#: DuckDB-SQL twin of host_bucket_expr — keep in lockstep (oracle parity)
+HOST_BUCKET_SQL = (
+    "CAST(CAST('0x' || substr(md5({host}), 1, 8) AS BIGINT) "
+    "% {n} AS INT)"
+)
 
 
 def salt_expr(url_col: str = "url", n_salts: int = 16) -> Column:
@@ -80,8 +95,9 @@ def span_columns(doc_id_col: str = "doc_id") -> list[Column]:
         .alias("end_ns"),
         F.lit(0).cast("long").alias("dropped_attributes_count"),
         F.lit(0).cast("long").alias("dropped_events_count"),
-        F.lit(0).cast("long").alias("dropped_links_count"),
-        F.lit("").alias("status_message"),
+        (c % 2).cast("long").alias("dropped_links_count"),
+        F.when(c % 4 == 0, F.lit("OK")).otherwise(F.lit(""))
+        .alias("status_message"),
         (c % 3).cast("long").alias("status_code"),
         F.length(F.col("text")).cast("long").alias("n_chars"),
     ]

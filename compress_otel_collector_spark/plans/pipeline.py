@@ -114,12 +114,56 @@ def span_stage(df: DataFrame) -> DataFrame:
     return df.select(*keep, *span_columns("doc_id"))
 
 
-def _encode_batches(arms: bool, events_every: int = 10):
+def _span_events_cells(doc_ids, starts, events_every: int):
+    """Vectorized events column: object array, one 1-event list per selected
+    row (doc_id % events_every == 0), None elsewhere. Selection, times and
+    the attribute mask are numpy; Python touches only rows WITH events."""
+    import numpy as np
+
+    ev = np.full(len(doc_ids), None, dtype=object)
+    if events_every:
+        sel = np.nonzero(doc_ids % events_every == 0)[0]
+        # int64 BEFORE the add: a float64 ns timestamp rounds at 256 ns
+        times = np.asarray(starts, dtype=np.int64)[sel] + 1_000_000
+        with_phase = doc_ids[sel] % 20 == 0
+        for j in range(len(sel)):
+            ev[sel[j]] = [{
+                "timeUnixNano": int(times[j]),
+                "name": "fetch",
+                "attributes": {"phase": "connect"} if with_phase[j] else {},
+                "droppedAttributesCount": 0,
+            }]
+    return ev
+
+
+def _span_links_cells(doc_ids, trace_ids, links_every: int = 7):
+    """Vectorized links column: every ``links_every``-th page links back to
+    its own trace (spanId = tail 8 bytes of the 16-byte trace id)."""
+    import numpy as np
+
+    ln = np.full(len(doc_ids), None, dtype=object)
+    if links_every:
+        sel = np.nonzero(doc_ids % links_every == 0)[0]
+        for i in sel:
+            t = bytes(trace_ids[i])
+            ln[i] = [{
+                "traceId": t,
+                "spanId": t[8:],
+                "traceState": "",
+                "attributes": {"rel": "prev"},
+                "droppedAttributesCount": 0,
+            }]
+    return ln
+
+
+def _encode_batches(arms: bool, events_every: int = 10,
+                    links_every: int = 7):
     """Returns the mapInPandas function: Arrow batch → one blob per group.
 
     Every ``events_every``-th page (by doc_id; 0 disables) gets one span
-    event ("fetch", 1 ms after start) so the events wire path runs at
-    pipeline scale, not only in codec unit tests.
+    event ("fetch", 1 ms after start, attributes on every 20th page) and
+    every ``links_every``-th page one self-trace link — so the events and
+    links wire paths run at pipeline scale, not only in codec unit tests.
     """
 
     def fn(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -158,19 +202,11 @@ def _encode_batches(arms: bool, events_every: int = 10):
                 if lang is not None and not pd.isna(lang):
                     spans["attr:lang"] = lang
                     attrs_spec["lang"] = "str"
-                if events_every:
-                    doc_ids = g["doc_id"].to_numpy()
-                    starts = g["start_ns"].to_numpy()
-                    spans["events"] = [
-                        [{"timeUnixNano": int(s) + 1_000_000,
-                          "name": "fetch", "attributes": {},
-                          "droppedAttributesCount": 0}]
-                        if d % events_every == 0 else None
-                        for d, s in zip(doc_ids, starts)
-                    ]
-                else:
-                    spans["events"] = None
-                spans["links"] = None
+                doc_ids = g["doc_id"].to_numpy()
+                spans["events"] = _span_events_cells(
+                    doc_ids, g["start_ns"].to_numpy(), events_every)
+                spans["links"] = _span_links_cells(
+                    doc_ids, g["trace_id"].to_numpy(), links_every)
                 blob = encode_span_dataframe(
                     spans,
                     attributes_spec=attrs_spec,
@@ -231,6 +267,7 @@ def _encode_batches(arms: bool, events_every: int = 10):
 
 def encode_stage(spans: DataFrame, n_salts: int = 16,
                  arms: bool = True, events_every: int = 10,
+                 links_every: int = 7,
                  shuffle_partitions: Optional[int] = None) -> DataFrame:
     """Route-aligned repartition + vectorized encode.
 
@@ -243,7 +280,7 @@ def encode_stage(spans: DataFrame, n_salts: int = 16,
         df = df.repartition(shuffle_partitions, "lang", "host_bucket", "salt")
     else:
         df = df.repartition("lang", "host_bucket", "salt")
-    return df.mapInPandas(_encode_batches(arms, events_every),
+    return df.mapInPandas(_encode_batches(arms, events_every, links_every),
                           schema=ENCODED_SCHEMA)
 
 
@@ -300,21 +337,51 @@ def aggregate_stage(encoded_or_routed: DataFrame) -> DataFrame:
     )
 
 
+#: every span field the reference's receiver rebuilds
+#: (compress-otel-receiver/trace.go:61-187): ids, trace state, name/kind,
+#: timestamps, status (message+code), dropped counts, attributes, events
+#: (time/name/attributes), links (traceId/spanId/attributes), plus resource
+#: attributes and scope name/version from the enclosing groups.
 _ROUNDTRIP_SCHEMA = StructType([
     StructField("url", StringType()),
     StructField("lang", StringType()),
+    StructField("trace_id_hex", StringType()),
+    StructField("span_id_hex", StringType()),
+    StructField("parent_span_id_hex", StringType()),
+    StructField("trace_state", StringType()),
     StructField("name", StringType()),
     StructField("kind", LongType()),
     StructField("start_ns", LongType()),
     StructField("end_ns", LongType()),
+    StructField("status_message", StringType()),
     StructField("status_code", LongType()),
+    StructField("dropped_attributes_count", LongType()),
+    StructField("dropped_events_count", LongType()),
+    StructField("dropped_links_count", LongType()),
+    StructField("http_status", LongType()),
     StructField("n_chars", LongType()),
     StructField("n_events", LongType()),
+    StructField("event_name", StringType()),
+    StructField("event_time_ns", LongType()),
+    StructField("event_phase", StringType()),
+    StructField("n_links", LongType()),
+    StructField("link_trace_hex", StringType()),
+    StructField("link_span_hex", StringType()),
+    StructField("link_rel", StringType()),
+    StructField("service_name", StringType()),
+    StructField("host_bucket_attr", LongType()),
+    StructField("scope_name", StringType()),
+    StructField("scope_version", StringType()),
 ])
 
 
 def roundtrip_check(encoded: DataFrame) -> DataFrame:
-    """Decode every blob back to span rows (for exceptAll equality tests)."""
+    """Decode every blob back to full-fidelity span rows.
+
+    Projects every field the reference receiver reconstructs
+    (trace.go:61-187) — used by the one-job equality gate in
+    ``roundtrip_counts`` and by tests via exceptAll.
+    """
     model = trace_model()
 
     def fn(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -332,25 +399,155 @@ def roundtrip_check(encoded: DataFrame) -> DataFrame:
                 for rs in doc.get("resourceSpans") or []:
                     res_attrs = rs["resource"]["attributes"] or {}
                     for ss in rs.get("scopeSpans") or []:
+                        scope = ss.get("scope") or {}
                         for sp in ss.get("spans") or []:
                             attrs = sp.get("attributes") or {}
+                            events = sp.get("events") or []
+                            links = sp.get("links") or []
+                            ev = events[0] if events else {}
+                            ev_attrs = ev.get("attributes") or {}
+                            ln = links[0] if links else {}
+                            ln_attrs = ln.get("attributes") or {}
+                            tid = sp.get("traceId")
+                            sid = sp.get("spanId")
+                            pid = sp.get("parentSpanId")
+                            ltid = ln.get("traceId")
+                            lsid = ln.get("spanId")
                             rows.append({
                                 "url": attrs.get("http.url"),
                                 "lang": attrs.get("lang"),
+                                "trace_id_hex":
+                                    tid.hex() if tid else None,
+                                "span_id_hex":
+                                    sid.hex() if sid else None,
+                                "parent_span_id_hex":
+                                    pid.hex() if pid else None,
+                                "trace_state": sp.get("traceState"),
                                 "name": sp.get("name"),
                                 "kind": sp.get("kind"),
                                 "start_ns": sp.get("startTimeUnixNano"),
                                 "end_ns": sp.get("endTimeUnixNano"),
+                                "status_message":
+                                    sp["status"].get("message"),
                                 "status_code": sp["status"].get("code"),
+                                "dropped_attributes_count":
+                                    sp.get("droppedAttributesCount"),
+                                "dropped_events_count":
+                                    sp.get("droppedEventsCount"),
+                                "dropped_links_count":
+                                    sp.get("droppedLinksCount"),
+                                "http_status":
+                                    attrs.get("http.status_code"),
                                 "n_chars": attrs.get("n_chars"),
-                                "n_events": len(sp.get("events") or []),
-                                "_svc": res_attrs.get("service.name"),
+                                "n_events": len(events),
+                                "event_name": ev.get("name"),
+                                "event_time_ns": ev.get("timeUnixNano"),
+                                "event_phase": ev_attrs.get("phase"),
+                                "n_links": len(links),
+                                "link_trace_hex":
+                                    ltid.hex() if ltid else None,
+                                "link_span_hex":
+                                    lsid.hex() if lsid else None,
+                                "link_rel": ln_attrs.get("rel"),
+                                "service_name":
+                                    res_attrs.get("service.name"),
+                                "host_bucket_attr":
+                                    res_attrs.get("host.bucket"),
+                                "scope_name": scope.get("name"),
+                                "scope_version": scope.get("version"),
                             })
             if rows:
-                out = pd.DataFrame(rows)
-                yield out[[f.name for f in _ROUNDTRIP_SCHEMA.fields]]
+                # column-wise with dtype=object: pd.DataFrame(rows) would
+                # turn an int+None column into float64, rounding ns
+                # timestamps at 256 ns (ints > 2^53)
+                yield pd.DataFrame({
+                    f.name: pd.Series([r[f.name] for r in rows],
+                                      dtype=object)
+                    for f in _ROUNDTRIP_SCHEMA.fields
+                })
 
     return encoded.mapInPandas(fn, schema=_ROUNDTRIP_SCHEMA)
+
+
+def expected_roundtrip(spans: DataFrame, events_every: int = 10,
+                       links_every: int = 7) -> DataFrame:
+    """What ``roundtrip_check`` must return, derived pre-encode.
+
+    Pure JVM expressions over the span stage applying the codec's documented
+    null coercion (encode.go:600-614): nullable int 0 → null, nullable empty
+    string → null. Column-for-column aligned with ``_ROUNDTRIP_SCHEMA``.
+    """
+    c = F.col("doc_id")
+    md5url = F.md5(F.col("url"))
+    has_event = (c % events_every == 0) if events_every else F.lit(False)
+    has_link = (c % links_every == 0) if links_every else F.lit(False)
+    null_s = F.lit(None).cast("string")
+    null_l = F.lit(None).cast("long")
+    return spans.select(
+        "url", "lang",
+        md5url.alias("trace_id_hex"),
+        F.substring(md5url, 1, 16).alias("span_id_hex"),
+        null_s.alias("parent_span_id_hex"),  # empty bytes → null
+        F.when(c % 10 == 0, "cc=1").otherwise(null_s).alias("trace_state"),
+        "name",
+        F.when(c % 6 == 0, null_l).otherwise((c % 6).cast("long"))
+        .alias("kind"),
+        "start_ns", "end_ns",
+        F.when(c % 4 == 0, "OK").otherwise(null_s).alias("status_message"),
+        (c % 3).cast("long").alias("status_code"),  # non-nullable: 0 kept
+        null_l.alias("dropped_attributes_count"),
+        null_l.alias("dropped_events_count"),
+        F.when(c % 2 == 1, F.lit(1).cast("long")).otherwise(null_l)
+        .alias("dropped_links_count"),
+        F.lit(200).cast("long").alias("http_status"),
+        "n_chars",
+        F.when(has_event, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        .alias("n_events"),
+        F.when(has_event, "fetch").otherwise(null_s).alias("event_name"),
+        F.when(has_event, F.col("start_ns") + 1_000_000).otherwise(null_l)
+        .alias("event_time_ns"),
+        F.when(has_event & (c % 20 == 0), "connect").otherwise(null_s)
+        .alias("event_phase"),
+        F.when(has_link, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        .alias("n_links"),
+        F.when(has_link, md5url).otherwise(null_s).alias("link_trace_hex"),
+        F.when(has_link, F.substring(md5url, 17, 16)).otherwise(null_s)
+        .alias("link_span_hex"),
+        F.when(has_link, "prev").otherwise(null_s).alias("link_rel"),
+        F.concat(F.lit("crawler-"), F.col("lang")).alias("service_name"),
+        F.col("host_bucket").cast("long").alias("host_bucket_attr"),
+        F.lit("compress-otel-collector-spark").alias("scope_name"),
+        F.lit("0.1.0").alias("scope_version"),
+    )
+
+
+def roundtrip_counts(decoded: DataFrame, expected: DataFrame) -> DataFrame:
+    """(decoded_spans, missing, extra) in ONE Spark job.
+
+    Tag-union multiset difference: expected rows weigh +1, decoded rows -1;
+    grouping on all columns and summing gives per-row-value imbalance, so
+    missing = Σ max(d,0), extra = Σ max(-d,0), and the decoded count rides
+    along in the same aggregate. Replaces the r1 shape (3 actions over an
+    unpersisted encode lineage → the pipeline re-encoded 3×) — at 100 TB an
+    unpersisted multi-action verification stage re-encodes the planet twice.
+    """
+    cols = decoded.columns
+    tagged = (
+        expected.select(*cols).withColumn("_w", F.lit(1))
+        .unionByName(decoded.select(*cols).withColumn("_w", F.lit(-1)))
+    )
+    per_value = tagged.groupBy(*cols).agg(
+        F.sum("_w").alias("_d"),
+        F.sum(F.when(F.col("_w") < 0, 1).otherwise(0)).alias("_dec"),
+    )
+    return per_value.agg(
+        F.coalesce(F.sum("_dec"), F.lit(0)).cast("long")
+        .alias("decoded_spans"),
+        F.coalesce(F.sum(F.when(F.col("_d") > 0, F.col("_d")).otherwise(0)),
+                   F.lit(0)).cast("long").alias("missing"),
+        F.coalesce(F.sum(F.when(F.col("_d") < 0, -F.col("_d")).otherwise(0)),
+                   F.lit(0)).cast("long").alias("extra"),
+    )
 
 
 def _hadoop_fs(spark: SparkSession, path_str: str):

@@ -99,21 +99,34 @@ class TestEncodeRoute:
         # ≈100 B/span marginal cost + ≈2 kB fixed meta (pool-id paths) per blob
         assert row["r"] < row["n"] * 150 + row["blobs"] * 2000
 
-    def test_roundtrip_equality(self, spark, pages, encoded):
+    def test_roundtrip_equality_full_fidelity(self, spark, pages, encoded):
+        """Every reference-reconstructed span field (trace.go:61-187)
+        crosses the equality gate, in one Spark job."""
+        from compress_otel_collector_spark.plans.pipeline import (
+            expected_roundtrip,
+            roundtrip_counts,
+        )
+
         decoded = roundtrip_check(encoded)
         spans = span_stage(enrich_stage(parse_stage(pages), spark))
-        # expected = post-null-coercion view of the synthesized spans
-        expected = spans.select(
-            "url", "lang", "name",
-            F.when(F.col("kind") == 0, None).otherwise(F.col("kind"))
-            .alias("kind"),
-            "start_ns", "end_ns", "status_code", "n_chars",
-            F.when(F.col("doc_id") % 10 == 0, 1).otherwise(0)
-            .cast("long").alias("n_events"),
+        row = roundtrip_counts(decoded, expected_roundtrip(spans)).collect()[0]
+        assert row["decoded_spans"] == pages.count()
+        assert row["missing"] == 0 and row["extra"] == 0
+
+    def test_roundtrip_gate_detects_corruption(self, spark, pages, encoded):
+        """The gate must actually fail when a field is wrong (no vacuous 0s).
+        """
+        from compress_otel_collector_spark.plans.pipeline import (
+            expected_roundtrip,
+            roundtrip_counts,
         )
-        cols = decoded.columns
-        assert decoded.select(cols).exceptAll(expected.select(cols)).count() == 0
-        assert expected.select(cols).exceptAll(decoded.select(cols)).count() == 0
+
+        decoded = roundtrip_check(encoded)
+        spans = span_stage(enrich_stage(parse_stage(pages), spark))
+        wrong = expected_roundtrip(spans).withColumn(
+            "status_code", F.col("status_code") + 1)
+        row = roundtrip_counts(decoded, wrong).collect()[0]
+        assert row["missing"] > 0 and row["extra"] > 0
 
     def test_blob_is_decodable_magic(self, encoded):
         import pyarrow as pa
