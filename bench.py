@@ -47,10 +47,10 @@ def make_spark(cores: int, task_cpus: int = 1):
     )
 
 
-_PAGES_CACHE: dict[int, str] = {}
+_PAGES_CACHE: dict[tuple[int, bool], str] = {}
 
 
-def materialize_pages(spark, n_pages: int) -> str:
+def materialize_pages(spark, n_pages: int, realistic: bool = False) -> str:
     """Write the synthetic pages table to local parquet once (untimed).
 
     The benchmark then measures the pipeline *from the table scan*, which is
@@ -63,17 +63,21 @@ def materialize_pages(spark, n_pages: int) -> str:
 
     from compress_otel_collector_spark.sources.tables import synthetic_pages
 
-    if n_pages not in _PAGES_CACHE:
-        path = tempfile.mkdtemp(prefix=f"bench_pages_{n_pages}_")
+    key = (n_pages, realistic)
+    if key not in _PAGES_CACHE:
+        shape = "real" if realistic else "adv"
+        path = tempfile.mkdtemp(prefix=f"bench_pages_{shape}_{n_pages}_")
         cores = spark.sparkContext.defaultParallelism
-        synthetic_pages(spark, n_pages, partitions=cores * 2) \
+        synthetic_pages(spark, n_pages, partitions=cores * 2,
+                        realistic=realistic) \
             .write.mode("overwrite").parquet(path)
-        _PAGES_CACHE[n_pages] = path
-    return _PAGES_CACHE[n_pages]
+        _PAGES_CACHE[key] = path
+    return _PAGES_CACHE[key]
 
 
 def run_pipeline_synth(spark, n_pages: int, arms: bool = True,
-                       n_salts: int = 8):
+                       n_salts: int = 8, realistic: bool = False,
+                       events_every: int = 10):
     """parse→enrich→encode→aggregate over n synthetic pages; returns
     (seconds, pages, ratio dict). Timed from the parquet scan."""
     from pyspark.sql import functions as F
@@ -86,17 +90,19 @@ def run_pipeline_synth(spark, n_pages: int, arms: bool = True,
         span_stage,
     )
 
-    path = materialize_pages(spark, n_pages)
+    path = materialize_pages(spark, n_pages, realistic=realistic)
     pages = spark.read.parquet(path)
     t0 = time.time()
     spans = span_stage(enrich_stage(parse_stage(pages), spark))
-    agg = aggregate_stage(encode_stage(spans, n_salts=n_salts, arms=arms))
+    agg = aggregate_stage(encode_stage(spans, n_salts=n_salts, arms=arms,
+                                       events_every=events_every))
     row = agg.agg(
         F.sum("pages").alias("pages"),
         F.sum("raw_bytes").alias("raw"),
         F.sum("zstd_bytes").alias("zstd"),
         F.sum("gzip_bytes").alias("gzip"),
         F.sum("json_zstd_bytes").alias("json_zstd"),
+        F.sum("proto_zstd_bytes").alias("proto_zstd"),
         F.sum("arrow_zstd_bytes").alias("arrow_zstd"),
     ).collect()[0]
     dt = time.time() - t0
@@ -105,10 +111,15 @@ def run_pipeline_synth(spark, n_pages: int, arms: bool = True,
         "zstd_bytes": int(row["zstd"]),
         "gzip_bytes": int(row["gzip"] or -1),
         "json_zstd_bytes": int(row["json_zstd"] or -1),
+        "proto_zstd_bytes": int(row["proto_zstd"] or -1),
         "arrow_zstd_bytes": int(row["arrow_zstd"] or -1),
         "zstd_vs_json_zstd_ratio": (
             round(row["zstd"] / row["json_zstd"], 4)
             if arms and row["json_zstd"] else None
+        ),
+        "zstd_vs_proto_zstd_ratio": (
+            round(row["zstd"] / row["proto_zstd"], 4)
+            if arms and row["proto_zstd"] else None
         ),
         "zstd_vs_arrow_zstd_ratio": (
             round(row["zstd"] / row["arrow_zstd"], 4)
@@ -137,7 +148,7 @@ def run_headline_queries(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
-def scaling_runs(n_pages: int):
+def scaling_runs(n_pages: int, visits: int = 5):
     """Same job, same input, N vs 4N *executor slots* + saturated headline.
 
     Executor model: one slot = ``spark.task.cpus=2`` = 1 JVM task thread +
@@ -146,8 +157,15 @@ def scaling_runs(n_pages: int):
     **4 executors**; both leave the 32-core host unsaturated so slot count
     is the only variable. (Plain local-mode core counts are a biased proxy:
     a 2-thread job borrows idle host cores for GC/IO/Python, inflating the
-    small-N number — the slot model removes that.) local[32] plain is also
-    measured as the saturated-host headline. Medians of 3 after warm-up.
+    small-N number — the slot model removes that.)
+
+    Host thermal/throttle drift dominated the r1 measurement (sequential
+    blocks → the later level ran on a slower host). This version runs the
+    two levels **interleaved ABAB** across ``visits`` fresh sessions each
+    (every visit: its own SparkSession, one warm-up run, one measured run)
+    and reports medians of the measured runs, so drift hits both levels
+    equally. local[32] (plain) is measured last, same session discipline,
+    as the saturated-host headline.
     """
     import statistics
 
@@ -159,35 +177,65 @@ def scaling_runs(n_pages: int):
     levels = {  # label -> (cores, task_cpus, slots)
         "1_executor": (2, 2, 1),
         "4_executors": (8, 2, 4),
-        "local32_saturated": (32, 1, 32),
     }
-    results = {}
-    for label, (cores, task_cpus, slots) in levels.items():
+    thr: dict[str, list[float]] = {label: [] for label in levels}
+
+    def one_visit(cores, task_cpus):
         spark = make_spark(cores, task_cpus=task_cpus)
         try:
-            run_pipeline_synth(spark, n_pages, arms=False)  # warm-up
-            thr = []
-            for _ in range(3 if slots < 32 else 1):
-                dt, pages, _ = run_pipeline_synth(spark, n_pages, arms=False)
-                thr.append(pages / dt)
-            med = statistics.median(thr)
-            results[label] = {
-                "cores": cores,
-                "slots": slots,
-                "pages_per_sec": round(med, 1),
-                "sec": round(n_pages / med, 2),
-                "runs": [round(t, 1) for t in thr],
-            }
+            run_pipeline_synth(spark, n_pages, arms=False)  # warm (JIT)
+            dt, pages, _ = run_pipeline_synth(spark, n_pages, arms=False)
+            return pages / dt
         finally:
             spark.stop()
-        time.sleep(2)
+
+    for _ in range(visits):  # ABAB interleave
+        for label, (cores, task_cpus, _slots) in levels.items():
+            thr[label].append(one_visit(cores, task_cpus))
+            time.sleep(1)
+
+    results = {}
+    for label, (cores, task_cpus, slots) in levels.items():
+        med = statistics.median(thr[label])
+        results[label] = {
+            "cores": cores,
+            "slots": slots,
+            "pages_per_sec": round(med, 1),
+            "sec": round(n_pages / med, 2),
+            "runs": [round(t, 1) for t in thr[label]],
+        }
+    sat = one_visit(CPUS, 1)
+    results["local32_saturated"] = {
+        "cores": CPUS,
+        "slots": CPUS,
+        "pages_per_sec": round(sat, 1),
+        "sec": round(n_pages / sat, 2),
+        "runs": [round(sat, 1)],
+    }
     eff = round(
         (results["4_executors"]["pages_per_sec"]
          / results["1_executor"]["pages_per_sec"]) / 4.0, 3)
     return results, eff
 
 
-def write_baseline_md(results, eff, pipeline_sec, pages, ratios):
+def _arms_table(ratios, pages):
+    rows = [
+        ("custom codec (raw)", "raw_bytes"),
+        ("custom + zstd", "zstd_bytes"),
+        ("custom + gzip", "gzip_bytes"),
+        ("JSON + zstd", "json_zstd_bytes"),
+        ("OTLP protobuf + zstd", "proto_zstd_bytes"),
+        ("Arrow IPC + zstd", "arrow_zstd_bytes"),
+    ]
+    lines = ["| arm | bytes | per page |", "|---|---|---|"]
+    for label, key in rows:
+        lines.append(
+            f"| {label} | {ratios[key]} | {ratios[key] / pages:.1f} |")
+    return "\n".join(lines)
+
+
+def write_baseline_md(results, eff, pipeline_sec, pages, ratios,
+                      ratios_real):
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(f"""# BENCH/BASELINE — measured results
@@ -199,7 +247,7 @@ deployment shape of the 10^12-row Iceberg input. Pipeline under test:
 parse → enrich → encode (value-tree dictionary codec) → zstd → route
 aggregate (`plans.pipeline`), no comparison arms during scaling runs.
 
-## Throughput (headline, local[{CPUS}], arms on)
+## Throughput (headline, local[{CPUS}], production pipeline — no arms)
 
 | metric | value |
 |---|---|
@@ -207,22 +255,36 @@ aggregate (`plans.pipeline`), no comparison arms during scaling runs.
 | wall sec | {pipeline_sec:.2f} |
 | pages/sec | {pages / pipeline_sec:,.0f} |
 
+(The comparison arms marshal every span three extra ways — JSON, OTLP
+protobuf, Arrow IPC — and are timed separately as `pipeline_arms` in the
+bench JSON; they are measurement diagnostics, not pipeline stages.)
+
 ## Compression arms (reference parity: trace.go:40-181)
 
-| arm | bytes | per page |
-|---|---|---|
-| custom codec (raw) | {ratios['raw_bytes']} | {ratios['raw_bytes'] / pages:.1f} |
-| custom + zstd | {ratios['zstd_bytes']} | {ratios['zstd_bytes'] / pages:.1f} |
-| custom + gzip | {ratios['gzip_bytes']} | {ratios['gzip_bytes'] / pages:.1f} |
-| JSON + zstd | {ratios['json_zstd_bytes']} | {ratios['json_zstd_bytes'] / pages:.1f} |
-| Arrow IPC + zstd | {ratios['arrow_zstd_bytes']} | {ratios['arrow_zstd_bytes'] / pages:.1f} |
+The reference's headline metric is custom+zstd vs **proto**+zstd
+(trace.go:41-67); both shapes below report it. "Adversarial" is the default
+synthetic shape — every url (hence every md5-derived trace/span id and
+http.url attribute) is unique, which pins the compressed size at the
+random-id entropy floor; dictionary pools cannot win there by construction.
+"Realistic" is the telemetry-repeats shape (bounded url/trace-id/attribute
+cardinality per host, `synthetic_pages(realistic=True)`) — the data the
+reference codec exists for (encode.go:180-196).
 
+### Adversarial shape (all-unique ids)
+
+{_arms_table(ratios, pages)}
+
+custom+zstd / proto+zstd = **{ratios['zstd_vs_proto_zstd_ratio']}**;
 custom+zstd / JSON+zstd = **{ratios['zstd_vs_json_zstd_ratio']}**;
 custom+zstd / ArrowIPC+zstd = **{ratios['zstd_vs_arrow_zstd_ratio']}**
-(uncompressed, the codec is ~4x smaller than JSON; after zstd the arms
-converge because the random md5-derived span ids set the entropy floor on
-this data shape — dictionary pools win where values repeat, and the
-repetitive fields are already ≤ 2 bytes/row here.)
+
+### Realistic shape (telemetry repeats)
+
+{_arms_table(ratios_real, pages)}
+
+custom+zstd / proto+zstd = **{ratios_real['zstd_vs_proto_zstd_ratio']}**;
+custom+zstd / JSON+zstd = **{ratios_real['zstd_vs_json_zstd_ratio']}**;
+custom+zstd / ArrowIPC+zstd = **{ratios_real['zstd_vs_arrow_zstd_ratio']}**
 
 ## Scaling efficiency (north_rule: ≥0.8 between N and 4N)
 
@@ -232,8 +294,12 @@ N=1 vs 4N=4 **executor slots**, where one slot = `spark.task.cpus=2` =
 a real cluster. Both levels leave the 32-core host unsaturated, so slot
 count is the only variable (plain local-mode core counts are a biased
 proxy: a 2-thread job freely borrows idle host cores for GC/shuffle-IO/
-Python, inflating the small-N number). Medians of 3 runs after warm-up;
-all runs shown. local[32] (plain) is the saturated-host headline.
+Python, inflating the small-N number). The two levels run **interleaved
+ABAB across {len(results['1_executor']['runs'])} fresh sessions each**
+(one warm-up + one measured run per session) so host thermal/throttle
+drift hits both equally; medians of the measured runs, all runs shown.
+local[32] (plain) is the saturated-host headline, measured last under the
+same session discipline.
 
 | level | cores | slots | sec | pages/sec | runs |
 |---|---|---|---|---|---|
@@ -256,9 +322,18 @@ def main():
     scaling = "--scaling" in sys.argv
     spark = make_spark(CPUS)
     queries = run_headline_queries(spark, SF_DIR)
-    run_pipeline_synth(spark, N_SYNTH, arms=True)  # warm (JIT + workers)
-    pipe_sec, pages, ratios = run_pipeline_synth(spark, N_SYNTH, arms=True)
+    run_pipeline_synth(spark, N_SYNTH, arms=False)  # warm (JIT + workers)
+    # throughput headline = the PRODUCTION pipeline (no comparison arms —
+    # they are bench-only diagnostics that marshal every span 3 extra ways)
+    pipe_sec, pages, _ = run_pipeline_synth(spark, N_SYNTH, arms=False)
     queries["pipeline_synth"] = round(pipe_sec, 3)
+    # comparison arms, timed separately: JSON/proto/Arrow marshal + zstd
+    arms_sec, _, ratios = run_pipeline_synth(spark, N_SYNTH, arms=True)
+    queries["pipeline_arms"] = round(arms_sec, 3)
+    # realistic (telemetry-repeats) shape: the codec's home turf — report
+    # compression for both shapes, honestly labeled
+    _, _, ratios_real = run_pipeline_synth(spark, N_SYNTH, arms=True,
+                                           realistic=True)
     spark.stop()
 
     result = {
@@ -271,6 +346,7 @@ def main():
         "pages": pages,
         "pages_per_sec": round(pages / pipe_sec, 1),
         "compression": ratios,
+        "compression_realistic": ratios_real,
         "cores": CPUS,
     }
     if scaling:
@@ -280,7 +356,8 @@ def main():
         results, eff = scaling_runs(max(N_SYNTH, 2_000_000))
         result["scaling"] = {str(k): v for k, v in results.items()}
         result["scaling_efficiency_n_to_4n"] = eff  # N=2 cores vs 4N=8
-        write_baseline_md(results, eff, pipe_sec, pages, ratios)
+        write_baseline_md(results, eff, pipe_sec, pages, ratios,
+                          ratios_real)
     print(json.dumps(result))
 
 

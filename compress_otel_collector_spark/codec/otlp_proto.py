@@ -1,0 +1,213 @@
+"""Minimal OTLP-shaped protobuf marshaler (the reference's comparison arm).
+
+The reference's headline compression ratio is custom+zstd vs **proto**+zstd
+(compress-otel-collector/exporter/trace.go:41-67, via the collector's
+ptrace ProtoMarshaler). This module hand-rolls the proto3 wire format for
+the public OTLP trace schema — field numbers from opentelemetry-proto
+``trace/v1/trace.proto`` and ``common/v1/common.proto`` — so that arm
+exists without a protobuf dependency. Encoder only (the arm needs sizes and
+a parseable artifact), covering exactly the value shapes the pipeline
+emits: bytes, string, varint ints/enums, fixed64 timestamps, nested
+messages, repeated fields. proto3 semantics: default values (0, "", empty
+bytes/list) are omitted from the wire, like the reference marshaler.
+
+Wire types: 0 = varint, 1 = fixed64 (i64), 2 = length-delimited.
+"""
+
+from __future__ import annotations
+
+import struct
+
+from .values import CodecError
+
+
+def _varint(n: int) -> bytes:
+    """Unsigned LEB128 (protobuf varint). Negative int64 values are encoded
+    as their two's-complement uint64 (10 bytes), per proto3 int64."""
+    if n < 0:
+        n &= (1 << 64) - 1
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _tag(field: int, wire: int) -> bytes:
+    return _varint((field << 3) | wire)
+
+
+def _len_delim(field: int, payload: bytes) -> bytes:
+    return _tag(field, 2) + _varint(len(payload)) + payload
+
+
+def _f_varint(field: int, n: int) -> bytes:
+    """Varint field; omitted when 0 (proto3 default)."""
+    return b"" if not n else _tag(field, 0) + _varint(int(n))
+
+
+def _f_fixed64(field: int, n: int) -> bytes:
+    return b"" if not n else _tag(field, 1) + struct.pack("<Q", int(n))
+
+
+def _f_str(field: int, s) -> bytes:
+    if not s:
+        return b""
+    return _len_delim(field, s.encode("utf-8"))
+
+
+def _f_bytes(field: int, b) -> bytes:
+    if not b:
+        return b""
+    return _len_delim(field, bytes(b))
+
+
+def _any_value(v) -> bytes:
+    """common.v1.AnyValue: string=1 bool=2 int=3 double=4 array=5 kvlist=6
+    bytes=7. A oneof is always emitted, even for default-looking values
+    (that is what distinguishes int 0 from unset)."""
+    if isinstance(v, bool):
+        return _tag(2, 0) + _varint(1 if v else 0)
+    if isinstance(v, int):
+        return _tag(3, 0) + _varint(v)
+    if isinstance(v, float):
+        return _tag(4, 1) + struct.pack("<d", v)
+    if isinstance(v, str):
+        return _len_delim(1, v.encode("utf-8"))
+    if isinstance(v, (bytes, bytearray)):
+        return _len_delim(7, bytes(v))
+    if isinstance(v, dict):
+        return _len_delim(6, _kv_list(v))
+    if isinstance(v, (list, tuple)):
+        return _len_delim(
+            5, b"".join(_len_delim(1, _any_value(x)) for x in v))
+    raise CodecError(f"unsupported AnyValue type {type(v).__name__}")
+
+
+def _kv_list(d: dict) -> bytes:
+    """KeyValueList.values = 1 (repeated KeyValue)."""
+    return b"".join(_len_delim(1, _key_value(k, v)) for k, v in d.items())
+
+
+def _key_value(k: str, v) -> bytes:
+    """KeyValue: key=1, value=2 (AnyValue)."""
+    return _f_str(1, k) + _len_delim(2, _any_value(v))
+
+
+def _attributes(field: int, attrs) -> bytes:
+    if not attrs:
+        return b""
+    return b"".join(_len_delim(field, _key_value(k, v))
+                    for k, v in attrs.items())
+
+
+def _event(ev: dict) -> bytes:
+    """Span.Event: time_unix_nano=1(f64) name=2 attributes=3 dropped=4."""
+    return (
+        _f_fixed64(1, ev.get("timeUnixNano") or 0)
+        + _f_str(2, ev.get("name"))
+        + _attributes(3, ev.get("attributes"))
+        + _f_varint(4, ev.get("droppedAttributesCount") or 0)
+    )
+
+
+def _link(ln: dict) -> bytes:
+    """Span.Link: trace_id=1 span_id=2 trace_state=3 attributes=4
+    dropped=5."""
+    return (
+        _f_bytes(1, ln.get("traceId"))
+        + _f_bytes(2, ln.get("spanId"))
+        + _f_str(3, ln.get("traceState"))
+        + _attributes(4, ln.get("attributes"))
+        + _f_varint(5, ln.get("droppedAttributesCount") or 0)
+    )
+
+
+def _status(st) -> bytes:
+    """Status: message=2 code=3."""
+    if not st:
+        return b""
+    payload = _f_str(2, st.get("message")) + _f_varint(3, st.get("code") or 0)
+    return _len_delim(15, payload) if payload else b""
+
+
+def _span(sp: dict) -> bytes:
+    """Span: trace_id=1 span_id=2 trace_state=3 parent_span_id=4 name=5
+    kind=6 start=7(f64) end=8(f64) attributes=9 dropped_attrs=10 events=11
+    dropped_events=12 links=13 dropped_links=14 status=15."""
+    out = [
+        _f_bytes(1, sp.get("traceId")),
+        _f_bytes(2, sp.get("spanId")),
+        _f_str(3, sp.get("traceState")),
+        _f_bytes(4, sp.get("parentSpanId")),
+        _f_str(5, sp.get("name")),
+        _f_varint(6, sp.get("kind") or 0),
+        _f_fixed64(7, sp.get("startTimeUnixNano") or 0),
+        _f_fixed64(8, sp.get("endTimeUnixNano") or 0),
+        _attributes(9, sp.get("attributes")),
+        _f_varint(10, sp.get("droppedAttributesCount") or 0),
+        b"".join(_len_delim(11, _event(e)) for e in sp.get("events") or []),
+        _f_varint(12, sp.get("droppedEventsCount") or 0),
+        b"".join(_len_delim(13, _link(l)) for l in sp.get("links") or []),
+        _f_varint(14, sp.get("droppedLinksCount") or 0),
+        _status(sp.get("status")),
+    ]
+    return b"".join(out)
+
+
+def _scope(scope) -> bytes:
+    """InstrumentationScope: name=1 version=2 attributes=3 dropped=4."""
+    if not scope:
+        return b""
+    return (
+        _f_str(1, scope.get("name"))
+        + _f_str(2, scope.get("version"))
+        + _attributes(3, scope.get("attributes"))
+        + _f_varint(4, scope.get("droppedAttributesCount") or 0)
+    )
+
+
+def encode_traces_proto(document: dict) -> bytes:
+    """TracesData (resource_spans=1) from the value-tree document shape
+    (the same dict tree the codec encodes/decodes)."""
+    out = []
+    for rs in document.get("resourceSpans") or []:
+        resource = rs.get("resource") or {}
+        res_payload = (
+            _attributes(1, resource.get("attributes"))
+            + _f_varint(2, resource.get("droppedAttributesCount") or 0)
+        )
+        ss_payloads = []
+        for ss in rs.get("scopeSpans") or []:
+            scope_b = _scope(ss.get("scope"))
+            ss_payloads.append(_len_delim(2, (
+                (_len_delim(1, scope_b) if scope_b else b"")
+                + b"".join(_len_delim(2, _span(sp))
+                           for sp in ss.get("spans") or [])
+                + _f_str(3, ss.get("schemaUrl"))
+            )))
+        out.append(_len_delim(1, (
+            _len_delim(1, res_payload)
+            + b"".join(ss_payloads)
+            + _f_str(3, rs.get("schemaUrl"))
+        )))
+    return b"".join(out)
+
+
+def spans_rows_to_proto(rows, resource_attrs: dict, scope: dict,
+                        schema_url: str = "") -> bytes:
+    """TracesData for one resource group from span dict rows (the fast path
+    the encode stage uses: no intermediate document tree)."""
+    res_payload = _attributes(1, resource_attrs)
+    spans_b = b"".join(_len_delim(2, _span(sp)) for sp in rows)
+    scope_b = _scope(scope)
+    ss = _len_delim(2, (
+        (_len_delim(1, scope_b) if scope_b else b"")
+        + spans_b + _f_str(3, schema_url)
+    ))
+    return _len_delim(1, _len_delim(1, res_payload) + ss
+                      + _f_str(3, schema_url))

@@ -48,9 +48,10 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from ..codec.batch import encode_span_dataframe
+from ..codec.batch import DEFAULT_SCOPE, encode_span_dataframe
 from ..codec.decoder import decode as decode_blob
 from ..codec.definition import trace_model
+from ..codec.otlp_proto import spans_rows_to_proto
 from ..functions.columns import (
     extract_text_expr,
     extract_text_pandas,
@@ -73,6 +74,7 @@ ENCODED_SCHEMA = StructType([
     StructField("zstd_bytes", LongType()),
     StructField("gzip_bytes", LongType()),
     StructField("json_zstd_bytes", LongType()),
+    StructField("proto_zstd_bytes", LongType()),
     StructField("arrow_zstd_bytes", LongType()),
     StructField("blob_sha256", StringType()),
     StructField("blob", BinaryType()),
@@ -218,17 +220,69 @@ def _encode_batches(arms: bool, events_every: int = 10,
                 blob_z = zstd.compress(blob, asbytes=True)
                 if arms:
                     gz = len(gzip.compress(blob, asbytes=True))
+                    # protobuf arm — the reference's REAL comparison
+                    # (trace.go:41-67: ptrace ProtoMarshaler + zstd), full
+                    # fidelity incl. events/links/attributes
+                    lang_attr = (
+                        {} if lang is None or pd.isna(lang)
+                        else {"lang": lang})
+                    proto_rows = (
+                        {
+                            "traceId": bytes(t), "spanId": bytes(s),
+                            "parentSpanId": b"", "traceState": ts,
+                            "name": nm, "kind": int(k),
+                            "startTimeUnixNano": int(st),
+                            "endTimeUnixNano": int(en),
+                            "attributes": {
+                                "http.url": u, "http.status_code": 200,
+                                **lang_attr, "n_chars": int(nc),
+                            },
+                            "droppedAttributesCount": 0,
+                            "events": ev or [], "droppedEventsCount": 0,
+                            "links": lk or [],
+                            "droppedLinksCount": int(dl),
+                            "status": {"message": sm, "code": int(sc)},
+                        }
+                        for t, s, ts, nm, k, st, en, u, nc, ev, lk, dl,
+                        sm, sc in zip(
+                            spans["trace_id"], spans["span_id"],
+                            spans["trace_state"], spans["name"],
+                            spans["kind"], spans["start_ns"],
+                            spans["end_ns"], spans["attr:http.url"],
+                            spans["attr:n_chars"], spans["events"],
+                            spans["links"],
+                            spans["dropped_links_count"],
+                            spans["status_message"], spans["status_code"],
+                        )
+                    )
+                    proto = spans_rows_to_proto(
+                        proto_rows,
+                        resource_attrs={
+                            "service.name": f"crawler-{lang}",
+                            "host.bucket": int(bucket),
+                        },
+                        scope=DEFAULT_SCOPE,
+                    )
+                    pz = len(zstd.compress(proto, asbytes=True))
                     # JSON marshal arm (the reference's JSONMarshaler
                     # comparison, trace.go:95-105): OTLP-JSON-style hex ids;
-                    # attr:* columns carry the attribute content
+                    # attr:* columns carry the attribute content; events and
+                    # links serialize too (full fidelity, like the codec)
                     json_view = spans.drop(
-                        columns=["attributes", "events", "links"],
-                        errors="ignore",
+                        columns=["attributes"], errors="ignore",
                     ).assign(
                         trace_id=[t.hex() for t in spans["trace_id"]],
                         span_id=[s.hex() for s in spans["span_id"]],
                         parent_span_id=[p.hex() for p in
                                         spans["parent_span_id"]],
+                        links=[
+                            None if lk is None else [
+                                {**x, "traceId": x["traceId"].hex(),
+                                 "spanId": x["spanId"].hex()}
+                                for x in lk
+                            ]
+                            for lk in spans["links"]
+                        ],
                     )
                     js = json_view.to_json(orient="records").encode()
                     jz = len(zstd.compress(js, asbytes=True))
@@ -243,7 +297,7 @@ def _encode_batches(arms: bool, events_every: int = 10,
                         w.write_table(tbl)
                     az = len(zstd.compress(sink.getvalue(), asbytes=True))
                 else:
-                    gz, jz, az = -1, -1, -1
+                    gz, jz, az, pz = -1, -1, -1, -1
                 out.append({
                     "lang": lang,
                     "host_bucket": int(bucket),
@@ -255,6 +309,7 @@ def _encode_batches(arms: bool, events_every: int = 10,
                     "zstd_bytes": len(blob_z),
                     "gzip_bytes": gz,
                     "json_zstd_bytes": jz,
+                    "proto_zstd_bytes": pz,
                     "arrow_zstd_bytes": az,
                     "blob_sha256": hashlib.sha256(blob).hexdigest(),
                     "blob": blob_z,
@@ -329,9 +384,12 @@ def aggregate_stage(encoded_or_routed: DataFrame) -> DataFrame:
             F.sum("zstd_bytes").alias("zstd_bytes"),
             F.sum("gzip_bytes").alias("gzip_bytes"),
             F.sum("json_zstd_bytes").alias("json_zstd_bytes"),
+            F.sum("proto_zstd_bytes").alias("proto_zstd_bytes"),
             F.sum("arrow_zstd_bytes").alias("arrow_zstd_bytes"),
             (F.sum("zstd_bytes") / F.sum("json_zstd_bytes"))
             .alias("zstd_vs_json_ratio"),
+            (F.sum("zstd_bytes") / F.sum("proto_zstd_bytes"))
+            .alias("zstd_vs_proto_ratio"),
         )
         .orderBy("lang", "host_bucket")
     )

@@ -93,20 +93,32 @@ def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def synthetic_pages(spark: SparkSession, n_rows: int,
-                    partitions: int | None = None) -> DataFrame:
+                    partitions: int | None = None,
+                    realistic: bool = False) -> DataFrame:
     """Deterministic pages table of any size, pure spark.range + JVM exprs.
 
-    text_i = 3-40 words drawn from a fixed 200-word vocabulary by a hash of
-    (i, position); ~5% of rows get empty text (null-coercion fixture,
-    FIXTURES.md F1). No Python runs per row.
+    Default (adversarial-to-the-codec) shape: text_i = 3-40 words drawn from
+    a fixed 200-word vocabulary by a hash of (i, position); ~5% of rows get
+    empty text (null-coercion fixture, FIXTURES.md F1); every url — and so
+    every md5-derived trace/span id and http.url attribute — is unique, which
+    puts the compressed size at the random-id entropy floor.
+
+    ``realistic=True`` is the telemetry-repeats shape (the reference codec's
+    whole premise, encode.go:180-196: bounded name/url/trace-id cardinality
+    per host session): each host serves a 64-slot url pool (crawl revisits),
+    and the text is a function of the slot, so urls, trace ids, and attribute
+    tuples recur and the dictionary pools can win. No Python runs per row in
+    either shape.
     """
     df = spark.range(0, n_rows, 1, partitions or spark.sparkContext.defaultParallelism)
     c = F.col("id")
+    seed = F.pmod(c, 64) if realistic else c  # url/text slot
     vocab = F.array(*[F.lit(w) for w in _VOCAB])
-    n_words = (F.pmod(c * 2654435761, 38) + 3).cast("int")
+    n_words = (F.pmod(seed * 2654435761, 38) + 3).cast("int")
     words = F.transform(
         F.sequence(F.lit(1), n_words),
-        lambda j: F.element_at(vocab, (F.pmod(c * 31 + j * 7, 200) + 1).cast("int")),
+        lambda j: F.element_at(
+            vocab, (F.pmod(seed * 31 + j * 7, 200) + 1).cast("int")),
     )
     text = F.when(c % 20 == 19, F.lit("")).otherwise(
         F.concat_ws(" ", words))
@@ -124,9 +136,10 @@ def synthetic_pages(spark: SparkSession, n_rows: int,
         F.lit("</title></head><body><p>"), text,
         F.lit("</p></body></html>"),
     )
+    url_tail = seed if realistic else c
     return df.select(
         F.concat(F.lit("https://"), host, F.lit("/p"),
-                 c.cast("string")).alias("url"),
+                 url_tail.cast("string")).alias("url"),
         F.timestamp_seconds(F.lit(WARC_TS_BASE) + c * 37).alias("warc_ts"),
         F.encode(html_str, "UTF-8").alias("html"),
         text.alias("text"),

@@ -171,3 +171,28 @@ class TestRunResume:
         got = agg.select("lang", "host_bucket", F.col("pages").alias("count"))
         assert got.exceptAll(expected).count() == 0
         assert expected.exceptAll(got).count() == 0
+
+
+def test_dense_events_roundtrip(spark):
+    """events_every=1: EVERY span carries an event — the dense-events wire
+    path must stay correct (and is pinned fast by the vectorized cell
+    builder; bench criterion: within 1.5x of sparse)."""
+    from compress_otel_collector_spark.plans.pipeline import (
+        encode_stage,
+        enrich_stage,
+        expected_roundtrip,
+        parse_stage,
+        roundtrip_check,
+        roundtrip_counts,
+        span_stage,
+    )
+
+    pages = synthetic_pages(spark, 400, partitions=2)
+    spans = span_stage(enrich_stage(parse_stage(pages), spark))
+    encoded = encode_stage(spans, n_salts=2, arms=False, events_every=1)
+    row = roundtrip_counts(
+        roundtrip_check(encoded),
+        expected_roundtrip(spans, events_every=1),
+    ).collect()[0]
+    assert row["decoded_spans"] == 400
+    assert row["missing"] == 0 and row["extra"] == 0
