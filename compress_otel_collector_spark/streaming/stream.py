@@ -28,6 +28,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..plans.pipeline import (
+    _read_meta,
+    _write_meta,
     encode_stage,
     enrich_stage,
     parse_stage,
@@ -82,6 +84,21 @@ def run_streaming_pipeline(
     replays only unprocessed files, and a replayed batch overwrites rather
     than duplicates. Returns the terminated StreamingQuery.
     """
+    # same bucket-layout guard as the batch path: resuming a sink with a
+    # different n_buckets would silently split routes across two bucketings
+    meta_path = f"{out_dir.rstrip('/')}/_pipeline_meta.json"
+    prior = _read_meta(spark, meta_path)
+    if prior is not None:
+        if prior.get("n_buckets") != n_buckets:
+            raise ValueError(
+                f"sink at {out_dir} was written with n_buckets="
+                f"{prior.get('n_buckets')}; resuming with n_buckets="
+                f"{n_buckets} would mix bucket layouts — pass the original "
+                "value or use a fresh output dir"
+            )
+    else:
+        _write_meta(spark, meta_path, {"n_buckets": n_buckets})
+
     stream = pages_stream(spark, input_dir)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:

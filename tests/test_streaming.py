@@ -65,3 +65,18 @@ def test_stream_batch_replay_is_idempotent(spark, tmp_path):
     route_stream_batch(encoded, out_dir, batch_id=1)
     total3 = read_routed(spark, out_dir).agg(F.sum("n_spans")).collect()[0][0]
     assert total3 == 240
+
+
+def test_streaming_refuses_bucket_layout_mismatch(spark, tmp_path):
+    """The streaming path honors the same bucket-layout meta marker as the
+    batch path: resuming a sink with a different n_buckets must refuse."""
+    import pytest
+
+    input_dir = str(tmp_path / "pages_in2")
+    out_dir = str(tmp_path / "out2")
+    synthetic_pages(spark, 60, partitions=1).write.parquet(input_dir)
+    run_streaming_pipeline(spark, input_dir, out_dir,
+                           str(tmp_path / "ck1"), n_buckets=8)
+    with pytest.raises(ValueError, match="bucket layouts"):
+        run_streaming_pipeline(spark, input_dir, out_dir,
+                               str(tmp_path / "ck2"), n_buckets=4)
