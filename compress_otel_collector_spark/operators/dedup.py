@@ -68,20 +68,42 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.5,
     """
     sh = word_shingles(df, n=n)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    # pairs per shared shingle, generated WITHIN the shingle group (one
+    # lineage — a self-join would recompute the shingle pipeline twice)
+    by_shingle = sh.groupBy("shingle").agg(
+        F.sort_array(F.collect_set("doc_id")).alias("ids"))
+    pair_arr = F.flatten(F.transform(
+        F.col("ids"),
+        lambda a, i: F.transform(
+            F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+            lambda b: F.struct(a.alias("a"), b.alias("b")))))
     common = (
-        sh.alias("a").join(sh.alias("b"),
-                           (F.col("a.shingle") == F.col("b.shingle"))
-                           & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("a_id"),
-                 F.col("b.doc_id").alias("b_id"))
+        by_shingle.select(F.explode(pair_arr).alias("p"))
+        .groupBy(F.col("p.a").alias("a_id"), F.col("p.b").alias("b_id"))
         .agg(F.count("*").alias("common"))
     )
+    # melt each pair into its two member rows and join `sizes` ONCE —
+    # joining sizes per side would re-evaluate the whole shingle lineage
+    # twice more (pairs ≪ corpus, so the melt shuffle is the cheap side)
+    melted = common.select(
+        "a_id", "b_id", "common",
+        F.explode(F.array(
+            F.struct(F.col("a_id").alias("doc_id"),
+                     F.lit("a").alias("role")),
+            F.struct(F.col("b_id").alias("doc_id"),
+                     F.lit("b").alias("role")),
+        )).alias("s"),
+    ).select("a_id", "b_id", "common", "s.doc_id", "s.role")
+    per_pair = (
+        melted.join(sizes, "doc_id")
+        .groupBy("a_id", "b_id", "common")
+        .agg(
+            F.max(F.when(F.col("role") == "a", F.col("n_sh"))).alias("na"),
+            F.max(F.when(F.col("role") == "b", F.col("n_sh"))).alias("nb"),
+        )
+    )
     return (
-        common
-        .join(sizes.withColumnRenamed("doc_id", "a_id")
-              .withColumnRenamed("n_sh", "na"), "a_id")
-        .join(sizes.withColumnRenamed("doc_id", "b_id")
-              .withColumnRenamed("n_sh", "nb"), "b_id")
+        per_pair
         .withColumn(
             "jaccard",
             F.round(F.col("common")
@@ -157,11 +179,20 @@ def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 8, bands: int = 2,
     rows-per-band = num_hashes/bands; a pair collides on a band iff all its
     components match — the classic banding scheme (prob ≈ 1-(1-j^r)^b).
 
-    ``max_bucket`` caps the self-join fan-out: buckets larger than the cap
+    Pairs are generated WITHIN each bucket group (collect the bucket's
+    sorted member ids, emit ordered combinations via array transforms) —
+    not by a self-join. A self-join of the unpersisted signature lineage
+    computes the whole scan→shingle→md5 pipeline twice (one per join side;
+    measured: 2 FileScans, 32 md5 exprs vs 1 and 16) — at 100 TB that is
+    double the cluster CPU for identical output. The in-bucket form keeps
+    one lineage, and its only shuffle is the groupBy(bucket).
+
+    ``max_bucket`` caps the per-bucket fan-out: buckets larger than the cap
     are dropped before pairing (see :func:`lsh_hot_buckets` for what was
     dropped). The hot-bucket list is tiny by construction — at most
     n_rows·bands/max_bucket entries — so the anti-join broadcasts; the
-    skewed key never reaches the pairwise join.
+    skewed key never produces a quadratic task (and the collected id array
+    stays bounded by the cap).
     """
     stacked = _lsh_stacked(df, num_hashes, bands, n)
     if max_bucket is not None:
@@ -172,13 +203,16 @@ def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 8, bands: int = 2,
             .select("bucket")
         )
         stacked = stacked.join(F.broadcast(hot), "bucket", "left_anti")
+    grouped = stacked.groupBy("bucket").agg(
+        F.sort_array(F.collect_set("doc_id")).alias("ids"))
+    pair_arr = F.flatten(F.transform(
+        F.col("ids"),
+        lambda a, i: F.transform(
+            F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+            lambda b: F.struct(a.alias("a"), b.alias("b")))))
     return (
-        stacked.alias("a")
-        .join(stacked.alias("b"),
-              (F.col("a.bucket") == F.col("b.bucket"))
-              & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("a_id"),
-                F.col("b.doc_id").alias("b_id"))
+        grouped.select(F.explode(pair_arr).alias("p"))
+        .select(F.col("p.a").alias("a_id"), F.col("p.b").alias("b_id"))
         .distinct()
     )
 
@@ -237,15 +271,22 @@ def simhash_hamming_pairs(df: DataFrame, max_distance: int = 3,
             for b in range(n_bands)
         ])).alias("bucket"),
     )
+    # candidates generated within each nibble bucket (one simhash lineage;
+    # a banded self-join would run the token-explode pipeline twice)
+    grouped = banded.groupBy("bucket").agg(
+        F.sort_array(F.collect_set(F.struct("doc_id", "simhash")))
+        .alias("members"))
+    pair_arr = F.flatten(F.transform(
+        F.col("members"),
+        lambda a, i: F.transform(
+            F.slice(F.col("members"), i + 2, F.size(F.col("members"))),
+            lambda b: F.struct(a.alias("a"), b.alias("b")))))
     cand = (
-        banded.alias("a")
-        .join(banded.alias("b"),
-              (F.col("a.bucket") == F.col("b.bucket"))
-              & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("a_id"),
-                F.col("a.simhash").alias("a_sim"),
-                F.col("b.doc_id").alias("b_id"),
-                F.col("b.simhash").alias("b_sim"))
+        grouped.select(F.explode(pair_arr).alias("p"))
+        .select(F.col("p.a.doc_id").alias("a_id"),
+                F.col("p.a.simhash").alias("a_sim"),
+                F.col("p.b.doc_id").alias("b_id"),
+                F.col("p.b.simhash").alias("b_sim"))
         .distinct()
     )
     return (

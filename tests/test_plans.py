@@ -79,3 +79,25 @@ def test_tpch_q1_scan_is_pruned(spark, sf_dir):
     # only the 6 referenced columns are read, not all 11
     assert "l_orderkey" not in read and "l_partkey" not in read
     assert "l_quantity" in read and "l_shipdate" in read
+
+
+def test_dedup_pair_generation_is_single_lineage(spark, sf_dir):
+    """Candidate-pair operators must compute their hash pipeline ONCE: a
+    self-join of the unpersisted signature lineage doubles every scan and
+    md5 at 100 TB. Pinned: exactly one parquet scan in each plan."""
+    from compress_otel_collector_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+        simhash_hamming_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    for op, max_scans in (
+        (lambda: minhash_lsh_pairs(docs), 1),
+        # jaccard genuinely needs the shingle set twice (per-doc sizes AND
+        # per-shingle groups); 2 is its floor without persisting
+        (lambda: ngram_jaccard_pairs(docs, threshold=0.12), 2),
+        (lambda: simhash_hamming_pairs(docs), 1),
+    ):
+        plan = plan_of(op())
+        assert plan.count("Scan parquet") <= max_scans, plan[:2000]
