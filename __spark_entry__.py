@@ -19,6 +19,7 @@ from compress_otel_collector_spark.operators import (
     exact_dedup,
     extract_features,
     fingerprint,
+    ivf_topk,
     lang_id,
     lsh_cosine_topk,
     minhash_lsh_pairs,
@@ -356,6 +357,67 @@ def _q_global_dict(spark, sf_dir):
     )
 
 
+def _q_semi_anti_join(spark, sf_dir):
+    """Semi/anti-join coverage (EXISTS / NOT EXISTS): suppliers with and
+    without any lineitem shipment, counted per nation."""
+    sup = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem").select("l_suppkey").distinct()
+    with_ship = sup.join(li, sup.s_suppkey == li.l_suppkey, "left_semi")
+    without = sup.join(li, sup.s_suppkey == li.l_suppkey, "left_anti")
+    return (
+        with_ship.groupBy("s_nationkey").agg(F.count("*").alias("n"))
+        .withColumn("kind", F.lit("with_shipments"))
+        .unionByName(
+            without.groupBy("s_nationkey").agg(F.count("*").alias("n"))
+            .withColumn("kind", F.lit("without_shipments")))
+        .select(F.col("s_nationkey").cast("long").alias("nationkey"),
+                "kind", "n")
+    )
+
+
+def _q_pivot_status(spark, sf_dir):
+    """Pivot-style conditional aggregation: order counts per priority,
+    one column per order status (portable GROUP BY + CASE form)."""
+    o = load_table(spark, sf_dir, "orders")
+    def n_of(status):
+        return F.sum(F.when(F.col("o_orderstatus") == status, 1)
+                     .otherwise(0)).cast("long")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            n_of("O").alias("n_open"),
+            n_of("F").alias("n_finished"),
+            n_of("P").alias("n_pending"),
+            F.count("*").alias("n_total"),
+        )
+    )
+
+
+def _q_distinct_counts(spark, sf_dir):
+    """Exact multi-column distinct aggregation over one pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.countDistinct("l_orderkey", "l_linenumber").alias("n_lines"),
+    )
+
+
+def _q_scalar_subquery(spark, sf_dir):
+    """Correlated-scalar-subquery shape: customers whose account balance
+    exceeds their nation's average (expressed as window avg — same rows)."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey")
+    return (
+        c.withColumn("nation_avg", F.avg("c_acctbal").over(w))
+        .where(F.col("c_acctbal") > F.col("nation_avg"))
+        .groupBy(F.col("c_nationkey").cast("long").alias("nationkey"))
+        .agg(F.count("*").alias("n_above_avg"),
+             F.round(F.max("c_acctbal"), 2).alias("max_bal"))
+    )
+
+
 def _q_dedup_exact(spark, sf_dir):
     return exact_dedup(load_table(spark, sf_dir, "documents"))
 
@@ -446,6 +508,12 @@ def _q_lsh_similarity(spark, sf_dir):
                            k=5, n_queries=20, n_planes=4, n_tables=4)
 
 
+def _q_ivf_similarity(spark, sf_dir):
+    """IVF-probed ANN (approximate — recall pinned by tests, no SQL twin)."""
+    return ivf_topk(load_table(spark, sf_dir, "embeddings"),
+                    k=5, n_queries=20, n_cells=16, n_probe=4)
+
+
 def _q_multimodal_features(spark, sf_dir):
     media = synthesize_media(load_table(spark, sf_dir, "documents"))
     feats = extract_features(media)
@@ -483,6 +551,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "global_dict": _q_global_dict,
         "percentiles": _q_percentiles,
         "top_order_per_customer": _q_top_order_per_customer,
+        "semi_anti_join": _q_semi_anti_join,
+        "pivot_status": _q_pivot_status,
+        "distinct_counts": _q_distinct_counts,
+        "scalar_subquery": _q_scalar_subquery,
         # training-data operators
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
@@ -499,6 +571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "codec_roundtrip": _q_codec_roundtrip,
         "pipeline_arms": _q_pipeline_arms,
         "lsh_similarity": _q_lsh_similarity,
+        "ivf_similarity": _q_ivf_similarity,
         "multimodal_features": _q_multimodal_features,
     }
 
@@ -746,6 +819,48 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source, dict_index
             FROM documents JOIN dict ON source = value
             WHERE doc_id < 50
+        """,
+        "semi_anti_join": """
+            SELECT CAST(s_nationkey AS BIGINT) AS nationkey,
+                   'with_shipments' AS kind, count(*) AS n
+            FROM supplier
+            WHERE EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_suppkey = s_suppkey)
+            GROUP BY 1
+            UNION ALL
+            SELECT CAST(s_nationkey AS BIGINT) AS nationkey,
+                   'without_shipments' AS kind, count(*) AS n
+            FROM supplier
+            WHERE NOT EXISTS (SELECT 1 FROM lineitem
+                              WHERE l_suppkey = s_suppkey)
+            GROUP BY 1
+        """,
+        "pivot_status": """
+            SELECT o_orderpriority,
+                   CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_open,
+                   CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_finished,
+                   CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_pending,
+                   count(*) AS n_total
+            FROM orders GROUP BY 1
+        """,
+        "distinct_counts": """
+            SELECT count(DISTINCT l_orderkey) AS n_orders,
+                   count(DISTINCT l_partkey) AS n_parts,
+                   count(DISTINCT l_suppkey) AS n_suppliers,
+                   count(DISTINCT (l_orderkey, l_linenumber)) AS n_lines
+            FROM lineitem
+        """,
+        "scalar_subquery": """
+            SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+                   count(*) AS n_above_avg,
+                   round(max(c_acctbal), 2) AS max_bal
+            FROM customer c
+            WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer c2
+                               WHERE c2.c_nationkey = c.c_nationkey)
+            GROUP BY 1
         """,
         "dedup_exact": """
             SELECT md5(text) AS text_hash,

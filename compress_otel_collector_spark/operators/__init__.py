@@ -14,6 +14,9 @@ from .dedup import (  # noqa: F401
 from .similarity import (  # noqa: F401
     cosine_pairs,
     cosine_topk,
+    ivf_assign,
+    ivf_topk,
+    ivf_train_centroids,
     lsh_cosine_topk,
     lsh_signatures,
 )

@@ -2,11 +2,17 @@
 
 - :func:`cosine_pairs` / :func:`cosine_topk`: brute-force exact baseline,
   pure JVM expressions (``zip_with`` + ``aggregate`` fold — no Python).
-- :func:`lsh_cosine_topk`: the scale path — deterministic random-hyperplane
+- :func:`lsh_cosine_topk`: a scale path — deterministic random-hyperplane
   LSH buckets shrink the candidate set from O(N²) to bucket-mates, then the
   exact cosine ranks candidates. At 100 TB: signatures are one narrow pass;
   the bucket join shuffles only same-bucket pairs; recall is tunable via
   number of hyperplanes / probing multiple tables.
+- :func:`ivf_topk`: the other standard scale path — an IVF (inverted-file)
+  index: a small coarse quantizer (centroids, trained by deterministic-init
+  Lloyd iterations) partitions vectors into cells; queries probe only their
+  ``n_probe`` nearest cells. Centroids are model parameters (n_cells × dim
+  floats), so holding them on the driver / broadcasting is the correct
+  distribution shape; assignment and probing are pure JVM expressions.
 """
 
 from __future__ import annotations
@@ -166,6 +172,127 @@ def lsh_cosine_topk(embeddings: DataFrame, k: int = 5, n_queries: int = 20,
         .select("q_id", "n_id",
                 (_dot(F.col("vq"), F.col("vn"))
                  / (F.col("nq") * F.col("nn"))).alias("cos_exact"))
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos_exact").desc(), F.col("n_id").asc())
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "n_id", F.col("rank").cast("int").alias("rank"),
+                F.round("cos_exact", 4).alias("cos"))
+    )
+
+
+def _lit_vec(vals) -> Column:
+    return F.array(*[F.lit(float(v)) for v in vals])
+
+
+def _centroid_dots(centroids) -> Column:
+    """array<double> of cosine(vec, centroid_i) for every centroid."""
+    return F.array(*[
+        _dot(F.col("vec"), _lit_vec(c))
+        / (F.col("norm") * F.lit(math.sqrt(sum(x * x for x in c)) or 1.0))
+        for c in centroids
+    ])
+
+
+def ivf_train_centroids(embeddings: DataFrame, n_cells: int = 16,
+                        iters: int = 1, vec_col: str = "embedding",
+                        id_col: str = "vec_id") -> list[list[float]]:
+    """Deterministic coarse quantizer: evenly-strided seed vectors refined
+    by ``iters`` Lloyd steps (assign → per-cell mean via posexplode).
+
+    Returns plain Python lists — the trained model parameters. Each Lloyd
+    step is two narrow passes + one (cell, dim) aggregation; nothing is
+    iterative per row, and n_cells × dim stays driver-sized by definition.
+    """
+    e = with_unit_norm(embeddings, vec_col, id_col)
+    n = e.count()
+    stride = max(n // n_cells, 1)
+    seeds = (
+        e.where(F.col("vec_id") % stride == 0)
+        .orderBy("vec_id").limit(n_cells).select("vec").collect()
+    )
+    centroids = [list(r["vec"]) for r in seeds]
+    for _ in range(iters):
+        assigned = e.select(
+            "vec",
+            (F.array_position(
+                _centroid_dots(centroids),
+                F.array_max(_centroid_dots(centroids))) - 1)
+            .cast("int").alias("cell"),
+        )
+        means = (
+            assigned.select("cell", F.posexplode("vec").alias("pos", "x"))
+            .groupBy("cell", "pos").agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cell.setdefault(r["cell"], {})[r["pos"]] = r["m"]
+        centroids = [
+            [by_cell[c][p] for p in sorted(by_cell[c])]
+            if c in by_cell else centroids[c]
+            for c in range(len(centroids))
+        ]
+    return centroids
+
+
+def ivf_assign(embeddings: DataFrame, centroids,
+               vec_col: str = "embedding",
+               id_col: str = "vec_id") -> DataFrame:
+    """(vec_id, vec, norm, cell): nearest-centroid assignment, JVM-only."""
+    e = with_unit_norm(embeddings, vec_col, id_col)
+    dots = _centroid_dots(centroids)
+    return e.select(
+        "vec_id", "vec", "norm",
+        (F.array_position(dots, F.array_max(dots)) - 1)
+        .cast("int").alias("cell"),
+    )
+
+
+def ivf_topk(embeddings: DataFrame, k: int = 5, n_queries: int = 20,
+             n_cells: int = 16, n_probe: int = 4, iters: int = 1,
+             vec_col: str = "embedding",
+             id_col: str = "vec_id") -> DataFrame:
+    """Approximate top-k via IVF probing: exact cosine ranked within the
+    ``n_probe`` nearest cells of each query.
+
+    At scale: the index build is one narrow assignment pass (the inverted
+    file would be a cell-partitioned table); each query touches
+    ~n_probe/n_cells of the corpus, and the only shuffle is the cell join.
+    Recall < 1 by construction — measured against the brute-force baseline
+    in tests, tunable via n_probe.
+    """
+    centroids = ivf_train_centroids(embeddings, n_cells=n_cells,
+                                    iters=iters, vec_col=vec_col,
+                                    id_col=id_col)
+    assigned = ivf_assign(embeddings, centroids, vec_col, id_col)
+    dots = _centroid_dots(centroids)
+    ranked_cells = F.slice(
+        F.transform(
+            F.array_sort(
+                F.zip_with(
+                    dots,
+                    F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+                    lambda d, i: F.struct((-d).alias("negd"),
+                                          i.alias("cell"))),
+                ),
+            lambda s: s["cell"]),
+        1, n_probe)
+    q = (
+        with_unit_norm(embeddings, vec_col, id_col)
+        .where(F.col("vec_id") < n_queries)
+        .select(F.col("vec_id").alias("q_id"), F.col("vec").alias("vq"),
+                F.col("norm").alias("nq"),
+                F.explode(ranked_cells).alias("cell"))
+    )
+    joined = (
+        F.broadcast(q).join(assigned, "cell")
+        .where(F.col("q_id") != F.col("vec_id"))
+        .select("q_id", F.col("vec_id").alias("n_id"),
+                (_dot(F.col("vq"), F.col("vec"))
+                 / (F.col("nq") * F.col("norm"))).alias("cos_exact"))
     )
     w = Window.partitionBy("q_id").orderBy(
         F.col("cos_exact").desc(), F.col("n_id").asc())

@@ -243,3 +243,52 @@ class TestSimHashHamming:
         got = {(r["a_id"], r["b_id"])
                for r in simhash_hamming_pairs(small).collect()}
         assert got == truth
+
+
+class TestIVF:
+    def test_assignment_covers_all_vectors(self, spark, sf_dir):
+        from compress_otel_collector_spark.operators import (
+            ivf_assign,
+            ivf_train_centroids,
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        cents = ivf_train_centroids(emb, n_cells=8, iters=1)
+        assert len(cents) == 8
+        assigned = ivf_assign(emb, cents)
+        assert assigned.count() == emb.count()
+        cells = {r["cell"] for r in
+                 assigned.select("cell").distinct().collect()}
+        assert cells <= set(range(8)) and len(cells) >= 2
+
+    def test_recall_against_bruteforce(self, spark, sf_dir):
+        """Probing half the cells must recover a solid fraction of the true
+        top-k (deterministic data + deterministic training → stable)."""
+        from compress_otel_collector_spark.operators import (
+            cosine_topk,
+            ivf_topk,
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        truth = {(r["q_id"], r["n_id"]) for r in
+                 cosine_topk(emb, k=5, n_queries=10).collect()}
+        got = {(r["q_id"], r["n_id"]) for r in
+               ivf_topk(emb, k=5, n_queries=10, n_cells=8,
+                        n_probe=4).collect()}
+        recall = len(truth & got) / len(truth)
+        assert recall >= 0.3, recall
+
+    def test_full_probe_equals_bruteforce(self, spark, sf_dir):
+        """n_probe == n_cells → every cell probed → exact results."""
+        from compress_otel_collector_spark.operators import (
+            cosine_topk,
+            ivf_topk,
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        truth = {(r["q_id"], r["n_id"], r["cos"]) for r in
+                 cosine_topk(emb, k=5, n_queries=10).collect()}
+        got = {(r["q_id"], r["n_id"], r["cos"]) for r in
+               ivf_topk(emb, k=5, n_queries=10, n_cells=8,
+                        n_probe=8).collect()}
+        assert got == truth
