@@ -357,6 +357,17 @@ def _q_global_dict(spark, sf_dir):
     )
 
 
+def _q_windowed_counts(spark, sf_dir):
+    """Event-time windowed aggregation (streaming operator, batch-checked:
+    the watermark is a no-op on a bounded frame, so DuckDB reproduces it)."""
+    from compress_otel_collector_spark.streaming.stream import (
+        windowed_route_counts,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return windowed_route_counts(pages_from_documents(spark, sf_dir))
+
+
 def _q_semi_anti_join(spark, sf_dir):
     """Semi/anti-join coverage (EXISTS / NOT EXISTS): suppliers with and
     without any lineitem shipment, counted per nation."""
@@ -551,6 +562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "global_dict": _q_global_dict,
         "percentiles": _q_percentiles,
         "top_order_per_customer": _q_top_order_per_customer,
+        "windowed_counts": _q_windowed_counts,
         "semi_anti_join": _q_semi_anti_join,
         "pivot_status": _q_pivot_status,
         "distinct_counts": _q_distinct_counts,
@@ -819,6 +831,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source, dict_index
             FROM documents JOIN dict ON source = value
             WHERE doc_id < 50
+        """,
+        "windowed_counts": """
+            SELECT CAST((1767225600 + doc_id * 37) // 3600 * 3600
+                        AS BIGINT) * 1000000 AS window_start_us,
+                   lang, count(*) AS n_pages
+            FROM documents GROUP BY 1, 2
         """,
         "semi_anti_join": """
             SELECT CAST(s_nationkey AS BIGINT) AS nationkey,

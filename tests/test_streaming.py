@@ -80,3 +80,51 @@ def test_streaming_refuses_bucket_layout_mismatch(spark, tmp_path):
     with pytest.raises(ValueError, match="bucket layouts"):
         run_streaming_pipeline(spark, input_dir, out_dir,
                                str(tmp_path / "ck2"), n_buckets=4)
+
+
+def test_windowed_watermark_aggregation(spark, tmp_path):
+    """Event-time windows + watermark over a real stream: the complete-mode
+    drain must equal the batch computation; an append-mode drain emits only
+    watermark-finalized windows (a subset)."""
+    from compress_otel_collector_spark.streaming.stream import (
+        windowed_route_counts,
+    )
+
+    input_dir = str(tmp_path / "wpages")
+    synthetic_pages(spark, 500, partitions=4).write.parquet(input_dir)
+    batch = {
+        (r["window_start_us"], r["lang"], r["n_pages"])
+        for r in windowed_route_counts(
+            spark.read.parquet(input_dir)).collect()
+    }
+    assert len(batch) > 5
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(input_dir).schema)
+        .option("maxFilesPerTrigger", 1).parquet(input_dir)
+    )
+    q = (
+        windowed_route_counts(stream)
+        .writeStream.format("memory").queryName("winagg")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["window_start_us"], r["lang"], r["n_pages"])
+        for r in spark.sql("SELECT * FROM winagg").collect()
+    }
+    assert got == batch
+
+    q2 = (
+        windowed_route_counts(stream)
+        .writeStream.format("memory").queryName("winagg_append")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q2.awaitTermination()
+    finalized = {
+        (r["window_start_us"], r["lang"], r["n_pages"])
+        for r in spark.sql("SELECT * FROM winagg_append").collect()
+    }
+    # append emits only windows older than max-event-time - watermark
+    assert finalized <= batch
+    assert len(finalized) < len(batch)
