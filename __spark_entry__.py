@@ -357,6 +357,30 @@ def _q_global_dict(spark, sf_dir):
     )
 
 
+def _q_token_freq_udtf(spark, sf_dir):
+    """Python UDTF surface: lateral table function emitting per-token
+    frequencies (tokenization in lockstep with the oracle CTE)."""
+    from compress_otel_collector_spark.operators.udtf_ops import (
+        token_frequencies,
+    )
+
+    return token_frequencies(
+        spark, load_table(spark, sf_dir, "documents"), max_doc_id=50)
+
+
+def _q_sketch_stats(spark, sf_dir):
+    """Sketch aggregates (HLL++ distinct, GK quantile): approximate by
+    design — no SQL twin; accuracy pinned by a tolerance test instead."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.round(F.expr("approx_percentile(value, 0.5, 10000)"), 4)
+        .alias("approx_p50"),
+        F.round(F.expr("approx_percentile(value, 0.99, 10000)"), 4)
+        .alias("approx_p99"),
+    )
+
+
 def _q_windowed_counts(spark, sf_dir):
     """Event-time windowed aggregation (streaming operator, batch-checked:
     the watermark is a no-op on a bounded frame, so DuckDB reproduces it)."""
@@ -563,6 +587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentiles": _q_percentiles,
         "top_order_per_customer": _q_top_order_per_customer,
         "windowed_counts": _q_windowed_counts,
+        "token_freq_udtf": _q_token_freq_udtf,
         "semi_anti_join": _q_semi_anti_join,
         "pivot_status": _q_pivot_status,
         "distinct_counts": _q_distinct_counts,
@@ -584,6 +609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_arms": _q_pipeline_arms,
         "lsh_similarity": _q_lsh_similarity,
         "ivf_similarity": _q_ivf_similarity,
+        "sketch_stats": _q_sketch_stats,
         "multimodal_features": _q_multimodal_features,
     }
 
@@ -831,6 +857,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source, dict_index
             FROM documents JOIN dict ON source = value
             WHERE doc_id < 50
+        """,
+        "token_freq_udtf": """
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(list_filter(string_split(text, ' '),
+                                          t -> t <> '')) AS token
+                FROM documents WHERE doc_id < 50)
+            SELECT doc_id, token, count(*) AS freq
+            FROM tok GROUP BY 1, 2
         """,
         "windowed_counts": """
             SELECT CAST((1767225600 + doc_id * 37) // 3600 * 3600

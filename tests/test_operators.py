@@ -292,3 +292,35 @@ class TestIVF:
                ivf_topk(emb, k=5, n_queries=10, n_cells=8,
                         n_probe=8).collect()}
         assert got == truth
+
+
+class TestSketches:
+    def test_sketch_accuracy_vs_exact(self, spark, sf_dir):
+        """HLL++ distinct within 5%; GK p50/p99 within the value spread."""
+        ev = load_table(spark, sf_dir, "events")
+        exact = {
+            r["event_type"]: r for r in ev.groupBy("event_type").agg(
+                F.countDistinct("user_id").alias("users"),
+                F.expr("percentile(value, 0.45)").alias("p45"),
+                F.expr("percentile(value, 0.5)").alias("p50"),
+                F.expr("percentile(value, 0.55)").alias("p55"),
+                F.expr("percentile(value, 0.98)").alias("p98"),
+                F.max("value").alias("vmax"),
+            ).collect()
+        }
+        approx = {
+            r["event_type"]: r for r in ev.groupBy("event_type").agg(
+                F.approx_count_distinct("user_id").alias("users"),
+                F.expr("approx_percentile(value, 0.5, 10000)").alias("p50"),
+                F.expr("approx_percentile(value, 0.99, 10000)").alias("p99"),
+            ).collect()
+        }
+        for et, ex in exact.items():
+            ap = approx[et]
+            assert abs(ap["users"] - ex["users"]) <= max(2, ex["users"] * 0.05)
+            # positional bounds, not relative error: the sketch returns a
+            # real sample, the exact form interpolates — on a heavy-tailed
+            # distribution adjacent order statistics can be far apart, so
+            # the right invariant is "lands in the neighboring-rank band"
+            assert ex["p45"] <= ap["p50"] <= ex["p55"]
+            assert ex["p98"] <= ap["p99"] <= ex["vmax"]
