@@ -17,6 +17,7 @@ Wire types: 0 = varint, 1 = fixed64 (i64), 2 = length-delimited.
 from __future__ import annotations
 
 import struct
+from functools import lru_cache
 
 from .values import CodecError
 
@@ -98,11 +99,24 @@ def _key_value(k: str, v) -> bytes:
     return _f_str(1, k) + _len_delim(2, _any_value(v))
 
 
+@lru_cache(maxsize=65536)
+def _kv_cached(field: int, k: str, v) -> bytes:
+    return _len_delim(field, _key_value(k, v))
+
+
 def _attributes(field: int, attrs) -> bytes:
+    """Attribute KeyValues memoized per (key, value) — telemetry attribute
+    values repeat heavily (status codes, langs, bounded numerics); unhashable
+    values (dict/list/bytes) fall through to direct assembly."""
     if not attrs:
         return b""
-    return b"".join(_len_delim(field, _key_value(k, v))
-                    for k, v in attrs.items())
+    pieces = []
+    for k, v in attrs.items():
+        try:
+            pieces.append(_kv_cached(field, k, v))
+        except TypeError:
+            pieces.append(_len_delim(field, _key_value(k, v)))
+    return b"".join(pieces)
 
 
 def _event(ev: dict) -> bytes:
@@ -127,25 +141,43 @@ def _link(ln: dict) -> bytes:
     )
 
 
+@lru_cache(maxsize=4096)
+def _status_cached(message, code) -> bytes:
+    payload = _f_str(2, message) + _f_varint(3, code or 0)
+    return _len_delim(15, payload) if payload else b""
+
+
 def _status(st) -> bytes:
-    """Status: message=2 code=3."""
+    """Status: message=2 code=3. Telemetry statuses repeat heavily, so the
+    assembled field is memoized by (message, code)."""
     if not st:
         return b""
-    payload = _f_str(2, st.get("message")) + _f_varint(3, st.get("code") or 0)
-    return _len_delim(15, payload) if payload else b""
+    return _status_cached(st.get("message"), st.get("code") or 0)
+
+
+@lru_cache(maxsize=65536)
+def _str_field_cached(field: int, s: str) -> bytes:
+    return _f_str(field, s)
+
+
+@lru_cache(maxsize=4096)
+def _varint_field_cached(field: int, n: int) -> bytes:
+    return _f_varint(field, n)
 
 
 def _span(sp: dict) -> bytes:
     """Span: trace_id=1 span_id=2 trace_state=3 parent_span_id=4 name=5
     kind=6 start=7(f64) end=8(f64) attributes=9 dropped_attrs=10 events=11
     dropped_events=12 links=13 dropped_links=14 status=15."""
+    trace_state = sp.get("traceState")
+    name = sp.get("name")
     out = [
         _f_bytes(1, sp.get("traceId")),
         _f_bytes(2, sp.get("spanId")),
-        _f_str(3, sp.get("traceState")),
+        _str_field_cached(3, trace_state) if trace_state else b"",
         _f_bytes(4, sp.get("parentSpanId")),
-        _f_str(5, sp.get("name")),
-        _f_varint(6, sp.get("kind") or 0),
+        _str_field_cached(5, name) if name else b"",
+        _varint_field_cached(6, sp.get("kind") or 0),
         _f_fixed64(7, sp.get("startTimeUnixNano") or 0),
         _f_fixed64(8, sp.get("endTimeUnixNano") or 0),
         _attributes(9, sp.get("attributes")),
