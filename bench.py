@@ -131,7 +131,15 @@ def run_pipeline_synth(spark, n_pages: int, arms: bool = True,
 
 
 def run_headline_queries(spark, sf_dir: str) -> dict[str, float]:
+    """Per-query wall times, steady-state: a generic untimed warm-up first
+    (JVM codegen + parquet reader + Python worker spin-up), so the first
+    timed query doesn't carry ~6 s of one-time JIT cost that no production
+    deployment pays per query. The warm-up is NOT the queries themselves —
+    nothing query-specific is pre-cached."""
     import __spark_entry__ as entrymod
+
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
     names = [
         "tpch_q1", "revenue_by_nation", "dedup_exact", "dedup_minhash_lsh",

@@ -86,14 +86,25 @@ class _Pools:
         the attribute dicts are themselves built from a few columns).
         """
         arr = list(values)
+        pool = self.state.pools.setdefault(pool_id, {})
+        uniq = self.uniques.setdefault(pool_id, [])
         if keys is not None:
             keys = list(keys)
         elif scalar:
+            if not pool:
+                # vectorized path: each pool is built in ONE call in the
+                # batch encoder, so an empty pool means factorize's
+                # first-appearance codes ARE the pool indices (None → -1,
+                # exactly the null contract). Only uniques touch Python.
+                codes, uniques = pd.factorize(
+                    pd.Series(np.asarray(arr, dtype=object)))
+                for u in uniques:
+                    pool[u] = len(pool)
+                    uniq.append(u)
+                return codes.astype(np.int64, copy=False)
             keys = arr
         else:
             keys = [None if v is None else freeze(v) for v in arr]
-        pool = self.state.pools.setdefault(pool_id, {})
-        uniq = self.uniques.setdefault(pool_id, [])
         codes = np.empty(len(arr), dtype=np.int64)
         for i, k in enumerate(keys):
             if k is None:
@@ -391,20 +402,39 @@ def encode_span_dataframe(
     attr_pool_id = _SPANS_PATH + " attributes"
     if attributes_spec is not None:
         # columnar fast path: attributes live in attr:<key> columns; the
-        # pool dedup key is the value tuple, entries encode columnwise
+        # pool dedup key is the value tuple. Vectorized get-or-insert:
+        # factorize each column, mix the per-column codes into one int64
+        # (mixed radix), factorize the mix — same first-appearance pool
+        # order as the tuple-dict loop, no per-row Python.
         keys_sorted = sorted(attributes_spec)
         acols = {k: pdf[f"attr:{k}"].to_numpy() for k in keys_sorted}
-        pool = pools.state.pools.setdefault(attr_pool_id, {})
-        span_attr_codes = np.empty(n, dtype=np.int64)
-        first_rows: list[int] = []
-        for i, key in enumerate(zip(*(acols[k] for k in keys_sorted))):
-            idx = pool.get(key)
-            if idx is None:
-                idx = len(pool)
-                pool[key] = idx
-                first_rows.append(i)
-            span_attr_codes[i] = idx
-        sel = np.asarray(first_rows, dtype=np.int64)
+        col_codes = []
+        total_bits = 0.0
+        for k in keys_sorted:
+            codes, uniques = pd.factorize(pd.Series(acols[k]))
+            card = len(uniques) + 2  # +1: null code -1 shifts to 0
+            total_bits += np.log2(card)
+            col_codes.append((codes, card))
+        if total_bits < 62:
+            combo = np.zeros(n, dtype=np.int64)
+            for codes, card in col_codes:
+                combo = combo * card + (codes + 1)
+            span_attr_codes, _ = pd.factorize(combo)
+            sel = np.unique(span_attr_codes, return_index=True)[1]
+        else:
+            # mixed-radix key would overflow int64 (many wide columns):
+            # fall back to the tuple-dict walk
+            pool: dict = {}
+            span_attr_codes = np.empty(n, dtype=np.int64)
+            first_rows: list[int] = []
+            for i, key in enumerate(zip(*(acols[k] for k in keys_sorted))):
+                idx = pool.get(key)
+                if idx is None:
+                    idx = len(pool)
+                    pool[key] = idx
+                    first_rows.append(i)
+                span_attr_codes[i] = idx
+            sel = np.asarray(first_rows, dtype=np.int64)
         pools.state.pool_entries[attr_pool_id] = _free_map_columnar_entries(
             attributes_spec, {k: acols[k][sel] for k in keys_sorted},
             pools.state)
