@@ -357,6 +357,32 @@ def _q_global_dict(spark, sf_dir):
     )
 
 
+def _q_asof_join(spark, sf_dir):
+    """As-of join: each 'view' event gets the latest at-or-before 'click'
+    value per user (DuckDB native ASOF LEFT JOIN is the oracle). The right
+    side is pre-aggregated to one row per (user, ts) — ties would make
+    'the latest row' ambiguous in ANY engine."""
+    from compress_otel_collector_spark.operators import asof_join
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us")
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", ts_us, "event_id")
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .select("user_id", ts_us, "value")
+        .groupBy("user_id", "ts_us")
+        .agg(F.max("value").alias("click_value"))
+    )
+    out = asof_join(views, clicks, on="ts_us", by="user_id",
+                    right_cols=["click_value"])
+    return out.select(
+        "user_id", "event_id", "ts_us",
+        F.round("click_value_asof", 4).alias("click_value"),
+    )
+
+
 def _q_token_freq_udtf(spark, sf_dir):
     """Python UDTF surface: lateral table function emitting per-token
     frequencies (tokenization in lockstep with the oracle CTE)."""
@@ -588,6 +614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_order_per_customer": _q_top_order_per_customer,
         "windowed_counts": _q_windowed_counts,
         "token_freq_udtf": _q_token_freq_udtf,
+        "asof_join": _q_asof_join,
         "semi_anti_join": _q_semi_anti_join,
         "pivot_status": _q_pivot_status,
         "distinct_counts": _q_distinct_counts,
@@ -857,6 +884,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source, dict_index
             FROM documents JOIN dict ON source = value
             WHERE doc_id < 50
+        """,
+        "asof_join": """
+            WITH v AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id
+                       FROM events WHERE event_type = 'view'),
+                 c AS (SELECT user_id, epoch_us(ts) AS ts_us,
+                              max(value) AS click_value
+                       FROM events WHERE event_type = 'click'
+                       GROUP BY 1, 2)
+            SELECT v.user_id, v.event_id, v.ts_us,
+                   round(c.click_value, 4) AS click_value
+            FROM v ASOF LEFT JOIN c
+              ON v.user_id = c.user_id AND v.ts_us >= c.ts_us
         """,
         "token_freq_udtf": """
             WITH tok AS (

@@ -34,3 +34,4 @@ from .dictionary import (  # noqa: F401
     apply_dictionary,
     global_dictionary,
 )
+from .asof import asof_join  # noqa: F401

@@ -324,3 +324,46 @@ class TestSketches:
             # the right invariant is "lands in the neighboring-rank band"
             assert ex["p45"] <= ap["p50"] <= ex["p55"]
             assert ex["p98"] <= ap["p99"] <= ex["vmax"]
+
+
+class TestAsofJoin:
+    def test_inclusive_and_carry_semantics(self, spark):
+        """Equality matches (inclusive), earlier rights carry forward,
+        no-prior-right yields null, keys never leak across."""
+        from compress_otel_collector_spark.operators import asof_join
+
+        left = spark.createDataFrame(
+            [(1, 5, "a"), (1, 10, "b"), (1, 25, "c"), (2, 7, "d")],
+            "k long, t long, tag string")
+        right = spark.createDataFrame(
+            [(1, 10, 100.0), (1, 20, 200.0), (2, 9, 900.0)],
+            "k long, t long, v double")
+        got = {
+            (r["k"], r["t"]): r["v_asof"]
+            for r in asof_join(left, right, on="t", by="k",
+                               right_cols=["v"]).collect()
+        }
+        assert got == {
+            (1, 5): None,       # no right at or before t=5
+            (1, 10): 100.0,     # inclusive equality
+            (1, 25): 200.0,     # latest prior
+            (2, 7): None,       # key 2's right is at t=9 (after)
+        }
+
+    def test_matches_duckdb_native_asof(self, spark, sf_dir):
+        """Cross-engine: composition ≡ DuckDB's native ASOF LEFT JOIN."""
+        import duckdb
+
+        import __spark_entry__ as entrymod
+
+        got = {
+            (r["user_id"], r["event_id"], r["ts_us"], r["click_value"])
+            for r in entrymod.queries()["asof_join"](spark, sf_dir)
+            .collect()
+        }
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW events AS SELECT * "
+                f"FROM '{sf_dir}/events.parquet'")
+        want = set(map(tuple, con.sql(
+            entrymod.oracle_sql()["asof_join"]).fetchall()))
+        assert got == want
