@@ -383,6 +383,32 @@ def _q_asof_join(spark, sf_dir):
     )
 
 
+def _q_range_join(spark, sf_dir):
+    """Bucketized range join: views landing inside the 30-minute window
+    before each purchase, per user (DuckDB inequality join is the oracle).
+    """
+    from compress_otel_collector_spark.operators import range_join
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", ts_us.alias("view_ts_us"),
+        F.col("event_id").alias("view_id"))
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"),
+        (ts_us - 30 * 60 * 1_000_000).alias("lo_us"),
+        ts_us.alias("hi_us"))
+    joined = range_join(views, purchases, point_col="view_ts_us",
+                        lo_col="lo_us", hi_col="hi_us", by="user_id",
+                        bucket_width=600 * 1_000_000)
+    return (
+        joined.groupBy("user_id", "purchase_id")
+        .agg(F.count("*").alias("n_views"),
+             F.min("view_ts_us").alias("first_view_us"))
+    )
+
+
 def _q_token_freq_udtf(spark, sf_dir):
     """Python UDTF surface: lateral table function emitting per-token
     frequencies (tokenization in lockstep with the oracle CTE)."""
@@ -615,6 +641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_counts": _q_windowed_counts,
         "token_freq_udtf": _q_token_freq_udtf,
         "asof_join": _q_asof_join,
+        "range_join": _q_range_join,
         "semi_anti_join": _q_semi_anti_join,
         "pivot_status": _q_pivot_status,
         "distinct_counts": _q_distinct_counts,
@@ -884,6 +911,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source, dict_index
             FROM documents JOIN dict ON source = value
             WHERE doc_id < 50
+        """,
+        "range_join": """
+            WITH v AS (SELECT user_id, epoch_us(ts) AS view_ts_us,
+                              event_id AS view_id
+                       FROM events WHERE event_type = 'view'),
+                 p AS (SELECT user_id, event_id AS purchase_id,
+                              epoch_us(ts) - CAST(30*60 AS BIGINT)*1000000
+                                  AS lo_us,
+                              epoch_us(ts) AS hi_us
+                       FROM events WHERE event_type = 'purchase')
+            SELECT v.user_id, p.purchase_id,
+                   count(*) AS n_views,
+                   min(v.view_ts_us) AS first_view_us
+            FROM v JOIN p
+              ON v.user_id = p.user_id
+             AND v.view_ts_us >= p.lo_us AND v.view_ts_us <= p.hi_us
+            GROUP BY 1, 2
         """,
         "asof_join": """
             WITH v AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id

@@ -35,3 +35,4 @@ from .dictionary import (  # noqa: F401
     global_dictionary,
 )
 from .asof import asof_join  # noqa: F401
+from .rangejoin import range_join  # noqa: F401

@@ -367,3 +367,30 @@ class TestAsofJoin:
         want = set(map(tuple, con.sql(
             entrymod.oracle_sql()["asof_join"]).fetchall()))
         assert got == want
+
+
+class TestRangeJoin:
+    def test_inclusive_bounds_and_bucket_spanning(self, spark):
+        """Points exactly on lo/hi match; intervals spanning several buckets
+        still meet each point exactly once (no duplicate pairs)."""
+        from compress_otel_collector_spark.operators import range_join
+
+        points = spark.createDataFrame(
+            [(1, 10, "p10"), (1, 100, "p100"), (1, 250, "p250"),
+             (2, 100, "q100")],
+            "user_id long, t long, tag string")
+        intervals = spark.createDataFrame(
+            [(1, 10, 250, "wide"), (1, 90, 110, "narrow"),
+             (2, 200, 300, "other")],
+            "user_id long, lo long, hi long, name string")
+        rows = range_join(points, intervals, point_col="t", lo_col="lo",
+                          hi_col="hi", by="user_id",
+                          bucket_width=50).collect()
+        pairs = sorted((r["tag"], r["name"]) for r in rows)
+        assert pairs == [
+            ("p10", "wide"),      # on lo (inclusive)
+            ("p100", "narrow"),
+            ("p100", "wide"),
+            ("p250", "wide"),     # on hi (inclusive); interval spans 5 buckets
+        ]
+        assert len(pairs) == len(set(pairs))  # exactly-once per pair
