@@ -383,6 +383,35 @@ def _q_asof_join(spark, sf_dir):
     )
 
 
+def _q_hypertable_rollup(spark, sf_dir):
+    """Hypertable-style continuous rollup: one grouping-sets pass produces
+    the day, hour, and minute aggregate levels (the hierarchy a timeseries
+    store maintains as materialized rollups) — Catalyst expands the rollup
+    into a single shuffle, no per-level re-scan."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events")
+    ts = F.col("ts").cast("timestamp")
+    withg = ev.select(
+        F.unix_micros(F.date_trunc("day", ts)).alias("day_us"),
+        F.unix_micros(F.date_trunc("hour", ts)).alias("hour_us"),
+        F.unix_micros(F.date_trunc("minute", ts)).alias("minute_us"),
+        "value",
+    )
+    return (
+        withg.rollup("day_us", "hour_us", "minute_us")
+        .agg(F.count("*").alias("n"),
+             F.round(F.sum("value"), 4).alias("sum_value"))
+        .where(F.col("day_us").isNotNull())  # drop the grand-total row
+        .select(
+            "day_us", "hour_us", "minute_us",
+            F.when(F.col("minute_us").isNotNull(), "minute")
+            .when(F.col("hour_us").isNotNull(), "hour")
+            .otherwise("day").alias("level"),
+            "n", "sum_value",
+        )
+    )
+
+
 def _q_range_join(spark, sf_dir):
     """Bucketized range join: views landing inside the 30-minute window
     before each purchase, per user (DuckDB inequality join is the oracle).
@@ -642,6 +671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_freq_udtf": _q_token_freq_udtf,
         "asof_join": _q_asof_join,
         "range_join": _q_range_join,
+        "hypertable_rollup": _q_hypertable_rollup,
         "semi_anti_join": _q_semi_anti_join,
         "pivot_status": _q_pivot_status,
         "distinct_counts": _q_distinct_counts,
@@ -911,6 +941,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source, dict_index
             FROM documents JOIN dict ON source = value
             WHERE doc_id < 50
+        """,
+        "hypertable_rollup": """
+            WITH g AS (SELECT epoch_us(date_trunc('day', ts)) AS day_us,
+                              epoch_us(date_trunc('hour', ts)) AS hour_us,
+                              epoch_us(date_trunc('minute', ts))
+                                  AS minute_us,
+                              value
+                       FROM events)
+            SELECT day_us, hour_us, minute_us,
+                   CASE WHEN minute_us IS NOT NULL THEN 'minute'
+                        WHEN hour_us IS NOT NULL THEN 'hour'
+                        ELSE 'day' END AS level,
+                   count(*) AS n,
+                   round(sum(value), 4) AS sum_value
+            FROM g GROUP BY ROLLUP (day_us, hour_us, minute_us)
+            HAVING day_us IS NOT NULL
         """,
         "range_join": """
             WITH v AS (SELECT user_id, epoch_us(ts) AS view_ts_us,
