@@ -196,3 +196,24 @@ def test_dense_events_roundtrip(spark):
     ).collect()[0]
     assert row["decoded_spans"] == 400
     assert row["missing"] == 0 and row["extra"] == 0
+
+
+def test_resume_with_null_lang_routes(spark, tmp_path):
+    """ADVICE r1: rows with NULL lang route under the null key; the resume
+    anti-join must match them null-safely or every rerun re-appends them."""
+    pages = synthetic_pages(spark, 200, partitions=2).withColumn(
+        "lang",
+        F.when(F.col("doc_id") % 5 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("lang")),
+    )
+    out = str(tmp_path / "out_null_lang")
+    total1 = run_pipeline(spark, pages, out, arms=False).agg(
+        F.sum("pages")).collect()[0][0]
+    assert total1 == 200
+    # rerun: completed routes (including lang=NULL ones) must be skipped
+    total2 = run_pipeline(spark, pages, out, arms=False).agg(
+        F.sum("pages")).collect()[0][0]
+    assert total2 == 200
+    nulls = read_routed(spark, out).where(
+        F.col("lang").isNull()).agg(F.sum("n_spans")).collect()[0][0]
+    assert nulls == 40  # 200/5 null-lang pages, written exactly once
