@@ -23,6 +23,7 @@ from .definition import (
     OBJECT,
     STRING,
     Definition,
+    SchemaError,
     field_path_to_definition,
 )
 from .values import CodecError
@@ -30,6 +31,14 @@ from .varint import decode_sleb128
 
 _MAGIC = b"cprval"
 _UNPACK_DOUBLE = struct.Struct("<d").unpack_from
+
+
+def _pool_get(pool, idx: int, what: str):
+    """Bounds-checked pool lookup: a corrupt negative index would silently
+    alias from the tail of the list (Python negative indexing)."""
+    if not 0 <= idx < len(pool):
+        raise CodecError(f"{what} index {idx} out of range 0..{len(pool)-1}")
+    return pool[idx]
 
 
 class _Reader:
@@ -40,11 +49,14 @@ class _Reader:
         self.pos = 0
 
     def read_varint(self) -> int:
-        v, self.pos = decode_sleb128(self.data, self.pos)
+        try:
+            v, self.pos = decode_sleb128(self.data, self.pos)
+        except IndexError:
+            raise CodecError("truncated varint") from None
         return v
 
     def read_bytes(self, n: int) -> bytes:
-        if self.pos + n > len(self.data):
+        if n < 0 or self.pos + n > len(self.data):
             raise CodecError("no data available for bytes")
         out = self.data[self.pos:self.pos + n]
         self.pos += n
@@ -75,7 +87,12 @@ def decode(blob: bytes, definition: Definition):
     value_pools: dict[str, list] = {}
     for _ in range(r.read_varint()):
         pool_id = r.read_string(r.read_varint())
-        pool_def = field_path_to_definition(pool_id, definition)
+        try:
+            pool_def = field_path_to_definition(pool_id, definition)
+        except SchemaError as e:
+            # a pool id the schema doesn't know = corrupt data, not a
+            # schema-authoring mistake — surface it as a decode error
+            raise CodecError(f"corrupt pool id on wire: {e}") from None
         entries: list = []
         value_pools[pool_id] = entries
         for _ in range(r.read_varint()):
@@ -111,8 +128,10 @@ def _inner_decode(d: Definition, path: str, status, string_pool, value_pools,
         return r.read_double()
 
     if d.is_pool_member and use_pool:
-        pool = value_pools[d.pool_id(path)]
-        return pool[r.read_varint()]
+        pid = d.pool_id(path)
+        if pid not in value_pools:
+            raise CodecError(f"reference to missing pool {pid!r}")
+        return _pool_get(value_pools[pid], r.read_varint(), f"pool {pid!r}")
 
     if t == BYTES:
         return r.read_bytes(r.read_varint())
@@ -142,7 +161,7 @@ def _free_map_decode(string_pool, r: _Reader) -> dict:
     """decode.go:242-270."""
     out = {}
     for _ in range(r.read_varint()):
-        key = string_pool[r.read_varint()]
+        key = _pool_get(string_pool, r.read_varint(), "string pool")
         if not r.read_bool():
             out[key] = None
         else:
@@ -162,7 +181,7 @@ def _free_value_decode(string_pool, r: _Reader):
     if tag == BYTES:
         return r.read_bytes(r.read_varint())
     if tag == STRING:
-        return string_pool[r.read_varint()]
+        return _pool_get(string_pool, r.read_varint(), "string pool")
     if tag == OBJECT:
         return _free_map_decode(string_pool, r)
     if tag == ARRAY:

@@ -66,3 +66,51 @@ def test_negative_delta_on_wire():
     blob = _golden("golden_3span_diff.hex")
     data = blob.split(b"cprval", 1)[1]
     assert b"\x05" in data and b"\x7e" in data
+
+
+def test_truncated_and_garbage_blobs_raise_codec_error():
+    """Corrupt input must fail with CodecError, never a silent wrong tree
+    or an unbounded read (reference reader errors on short data,
+    receiver/reader.go:18-35)."""
+    import pytest
+
+    from compress_otel_collector_spark.codec import (
+        encode,
+        trace_model,
+    )
+    from compress_otel_collector_spark.codec.decoder import decode
+    from compress_otel_collector_spark.codec.values import CodecError
+    from tests.test_reference_golden import DOC
+
+    m = trace_model()
+    blob = encode(DOC, m)
+    for cut in (1, len(blob) // 3, len(blob) - 1):
+        with pytest.raises(CodecError):
+            decode(blob[:cut], m)
+    with pytest.raises(CodecError):
+        decode(b"\x00\x01garbage-without-magic\x7f" * 4, m)
+
+
+def test_any_truncation_raises_only_codec_error():
+    """Property: decoding ANY prefix of a valid blob fails with CodecError
+    (never IndexError/KeyError/hangs) — the reader is fully bounds-checked.
+    """
+    import pytest
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from compress_otel_collector_spark.codec import encode, trace_model
+    from compress_otel_collector_spark.codec.decoder import decode
+    from compress_otel_collector_spark.codec.values import CodecError
+    from tests.test_reference_golden import DOC
+
+    m = trace_model()
+    blob = encode(DOC, m)
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.integers(min_value=0, max_value=len(blob) - 1))
+    def check(cut):
+        with pytest.raises(CodecError):
+            decode(blob[:cut], m)
+
+    check()
