@@ -32,6 +32,12 @@ from .varint import decode_sleb128
 _MAGIC = b"cprval"
 _UNPACK_DOUBLE = struct.Struct("<d").unpack_from
 
+#: free values (attribute maps) may nest arbitrarily on a VALID wire, but a
+#: corrupt blob can synthesize pathological depth — cap it well below
+#: Python's recursion limit so corruption raises CodecError, never
+#: RecursionError. Real telemetry attribute trees are < 10 deep.
+_MAX_FREE_DEPTH = 128
+
 
 def _pool_get(pool, idx: int, what: str):
     """Bounds-checked pool lookup: a corrupt negative index would silently
@@ -63,7 +69,13 @@ class _Reader:
         return out
 
     def read_string(self, n: int) -> str:
-        return self.read_bytes(n).decode("utf-8")
+        try:
+            return self.read_bytes(n).decode("utf-8")
+        except UnicodeDecodeError as e:
+            # corrupt input must always surface as CodecError, never a
+            # codec-internal exception type (contract pinned by the
+            # byte-flip property test)
+            raise CodecError(f"invalid utf-8 in string: {e}") from None
 
     def read_bool(self) -> bool:
         return self.read_bytes(1)[0] != 0
@@ -157,20 +169,26 @@ def _inner_decode(d: Definition, path: str, status, string_pool, value_pools,
     raise CodecError(f"unknown definition type {t}")
 
 
-def _free_map_decode(string_pool, r: _Reader) -> dict:
+def _free_map_decode(string_pool, r: _Reader, depth: int = 0) -> dict:
     """decode.go:242-270."""
+    if depth > _MAX_FREE_DEPTH:
+        raise CodecError("free value nested deeper than "
+                         f"{_MAX_FREE_DEPTH} levels")
     out = {}
     for _ in range(r.read_varint()):
         key = _pool_get(string_pool, r.read_varint(), "string pool")
         if not r.read_bool():
             out[key] = None
         else:
-            out[key] = _free_value_decode(string_pool, r)
+            out[key] = _free_value_decode(string_pool, r, depth + 1)
     return out
 
 
-def _free_value_decode(string_pool, r: _Reader):
+def _free_value_decode(string_pool, r: _Reader, depth: int = 0):
     """decode.go:272-334."""
+    if depth > _MAX_FREE_DEPTH:
+        raise CodecError("free value nested deeper than "
+                         f"{_MAX_FREE_DEPTH} levels")
     tag = r.read_varint()
     if tag == INTEGER:
         return r.read_varint()
@@ -183,8 +201,8 @@ def _free_value_decode(string_pool, r: _Reader):
     if tag == STRING:
         return _pool_get(string_pool, r.read_varint(), "string pool")
     if tag == OBJECT:
-        return _free_map_decode(string_pool, r)
+        return _free_map_decode(string_pool, r, depth + 1)
     if tag == ARRAY:
-        return [_free_value_decode(string_pool, r)
+        return [_free_value_decode(string_pool, r, depth + 1)
                 for _ in range(r.read_varint())]
     raise CodecError(f"unknown value type in free value: {tag}")

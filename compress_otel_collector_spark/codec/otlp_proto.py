@@ -100,20 +100,25 @@ def _key_value(k: str, v) -> bytes:
 
 
 @lru_cache(maxsize=65536)
-def _kv_cached(field: int, k: str, v) -> bytes:
+def _kv_cached(field: int, k: str, tname: str, v) -> bytes:
+    # tname keys the cache by the value's concrete type: True/1/1.0 hash
+    # and compare equal, but their AnyValue oneofs differ — without the
+    # type in the key, {'f': True} and {'f': 1} would return whichever
+    # wire form was encoded first (and the process-global cache would
+    # keep corrupting batches for the lifetime of the Spark worker).
     return _len_delim(field, _key_value(k, v))
 
 
 def _attributes(field: int, attrs) -> bytes:
-    """Attribute KeyValues memoized per (key, value) — telemetry attribute
-    values repeat heavily (status codes, langs, bounded numerics); unhashable
-    values (dict/list/bytes) fall through to direct assembly."""
+    """Attribute KeyValues memoized per (key, type, value) — telemetry
+    attribute values repeat heavily (status codes, langs, bounded numerics);
+    unhashable values (dict/list) fall through to direct assembly."""
     if not attrs:
         return b""
     pieces = []
     for k, v in attrs.items():
         try:
-            pieces.append(_kv_cached(field, k, v))
+            pieces.append(_kv_cached(field, k, type(v).__name__, v))
         except TypeError:
             pieces.append(_len_delim(field, _key_value(k, v)))
     return b"".join(pieces)

@@ -114,3 +114,64 @@ def test_any_truncation_raises_only_codec_error():
             decode(blob[:cut], m)
 
     check()
+
+
+def test_byte_flips_raise_only_codec_error():
+    """Property: flipping any single byte of a valid blob either still
+    decodes (a flip can land on another valid tree) or raises CodecError —
+    never UnicodeDecodeError / RecursionError / IndexError (ADVICE r2: the
+    truncation-only property missed invalid utf-8 and nesting bombs)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from compress_otel_collector_spark.codec import encode, trace_model
+    from compress_otel_collector_spark.codec.decoder import decode
+    from compress_otel_collector_spark.codec.values import CodecError
+    from tests.test_reference_golden import DOC
+
+    m = trace_model()
+    blob = encode(DOC, m)
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.integers(min_value=0, max_value=len(blob) - 1),
+        st.integers(min_value=1, max_value=255),
+    )
+    def check(pos, mask):
+        corrupt = bytearray(blob)
+        corrupt[pos] ^= mask
+        try:
+            decode(bytes(corrupt), m)
+        except CodecError:
+            pass  # the only legal failure mode
+
+    check()
+
+
+def test_invalid_utf8_raises_codec_error():
+    import pytest
+
+    from compress_otel_collector_spark.codec.decoder import _Reader
+    from compress_otel_collector_spark.codec.values import CodecError
+
+    r = _Reader(b"\xff\xfe\x01\x02")
+    with pytest.raises(CodecError):
+        r.read_string(4)
+
+
+def test_free_value_nesting_bomb_raises_codec_error():
+    """A corrupt blob that nests free arrays past the depth cap must raise
+    CodecError, not RecursionError."""
+    import pytest
+
+    from compress_otel_collector_spark.codec.decoder import (
+        _MAX_FREE_DEPTH,
+        _Reader,
+        _free_value_decode,
+    )
+    from compress_otel_collector_spark.codec.values import CodecError
+
+    # tag ARRAY(6) + count 1, repeated far past the cap
+    bomb = (b"\x06\x01") * (_MAX_FREE_DEPTH + 10)
+    with pytest.raises(CodecError):
+        _free_value_decode([], _Reader(bomb))

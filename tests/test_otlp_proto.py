@@ -176,3 +176,17 @@ def test_typed_attribute_values():
     assert attrs["s"] == "x" and attrs["i"] == 42
     assert attrs["b"] is True and attrs["f"] == 2.5
     assert attrs["raw"] == b"\xff" and attrs["nested"] == {"k": 1}
+
+
+def test_attribute_cache_is_type_keyed():
+    """{'flag': True} and {'flag': 1} wire-equal keys must NOT share a cache
+    entry: bool→AnyValue.bool_value(2), int→int_value(3) (ADVICE r2)."""
+    from compress_otel_collector_spark.codec.otlp_proto import _attributes
+
+    b_bool = _attributes(9, {"flag": True})
+    b_int = _attributes(9, {"flag": 1})
+    b_float = _attributes(9, {"flag": 1.0})
+    assert b_bool != b_int != b_float
+    # and repeated lookups stay stable (cache returns the right variant)
+    assert _attributes(9, {"flag": True}) == b_bool
+    assert _attributes(9, {"flag": 1}) == b_int
