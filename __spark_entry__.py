@@ -74,9 +74,6 @@ _SHINGLES_CTE = _TOKS_CTE + (
     "FROM toks WHERE len(t) >= 3))"
 )
 
-_HEX_HI = "('8','9','a','b','c','d','e','f')"
-
-
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     pages = pages_from_documents(spark, "/root/testdata/sf0.001")
@@ -688,8 +685,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": _q_token_count,
         "fingerprint": _q_fingerprint,
         "pipeline_sinks": _q_pipeline_sinks,
-        # non-SQL-expressible (rows-only checks)
+        # the flagship correctness gate (constant oracle: n docs, 0, 0)
         "codec_roundtrip": _q_codec_roundtrip,
+        # non-SQL-expressible (rows-only checks)
         "pipeline_arms": _q_pipeline_arms,
         "lsh_similarity": _q_lsh_similarity,
         "ivf_similarity": _q_ivf_similarity,
@@ -698,32 +696,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-def _simhash_sql(bits: int = 16) -> str:
+def _simhash_sql(bits: int = 64) -> str:
+    """DuckDB twin of operators.dedup.simhash: bit i of a token = bit i%4
+    of hex digit i//4 of md5(token); fingerprint bit 63 enters as -2**63
+    (two's-complement BIGINT, same representation as Spark's long)."""
+    digits = ", ".join(
+        f"CAST('0x' || substr(h, {p + 1}, 1) AS BIGINT) AS d{p}"
+        for p in range(bits // 4)
+    )
     sums = ", ".join(
-        f"CAST(SUM(CASE WHEN substr(h, {i + 1}, 1) IN {_HEX_HI} "
+        f"CAST(SUM(CASE WHEN (d{i // 4} >> {i % 4}) & 1 = 1 "
         f"THEN 1 ELSE -1 END) AS BIGINT) AS s{i}"
         for i in range(bits)
     )
     fp = " + ".join(
+        f"(CASE WHEN s{i} > 0 THEN (-9223372036854775807 - 1) "
+        "ELSE 0 END)"
+        if i == 63 else
         f"(CASE WHEN s{i} > 0 THEN 1 ELSE 0 END) * {2 ** i}"
         for i in range(bits)
     )
     return (
         _TOKS_CTE
         + ", tok AS (SELECT doc_id, unnest(t) AS token FROM toks)"
-        + ", bits AS (SELECT doc_id, md5(token) AS h FROM tok)"
+        + ", hx AS (SELECT doc_id, md5(token) AS h FROM tok)"
+        + f", bits AS (SELECT doc_id, {digits} FROM hx)"
         + f", sums AS (SELECT doc_id, {sums} FROM bits GROUP BY doc_id) "
         + f"SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM sums"
     )
 
 
-def _simhash_hamming_sql(max_distance: int = 3, bits: int = 16) -> str:
-    """DuckDB twin of simhash_hamming_pairs: nibble-banding + bit_count."""
+def _simhash_hamming_sql(max_distance: int = 3, bits: int = 64) -> str:
+    """DuckDB twin of simhash_hamming_pairs: 16-bit banding + bit_count.
+
+    ``>>`` is arithmetic in DuckDB and logical-vs-arithmetic is irrelevant
+    after ``& 65535`` (the low 16 bits of a shift don't depend on the fill
+    bits), so the bucket values match Spark's shiftright exactly.
+    """
     return (
         "WITH sims AS (" + _simhash_sql(bits) + "), "
         "banded AS (SELECT doc_id, simhash, "
         "CAST(x AS VARCHAR) || ':' || "
-        "CAST((simhash >> (x * 4)) & 15 AS VARCHAR) AS bucket "
+        "CAST((simhash >> (x * 16)) & 65535 AS VARCHAR) AS bucket "
         "FROM sims CROSS JOIN (SELECT unnest([0,1,2,3]) AS x)), "
         "cand AS (SELECT DISTINCT a.doc_id AS a_id, a.simhash AS a_sim, "
         "b.doc_id AS b_id, b.simhash AS b_sim "
@@ -735,7 +749,16 @@ def _simhash_hamming_sql(max_distance: int = 3, bits: int = 16) -> str:
     )
 
 
-def _minhash_sql(num_hashes: int = 8, bands: int = 2) -> str:
+def _minhash_sql(num_hashes: int = 8, bands: int = 2,
+                 max_bucket: int | None = None) -> str:
+    """DuckDB twin of minhash_lsh_pairs. ``max_bucket`` mirrors the
+    operator's default-on hot-bucket cap: buckets above the cap are dropped
+    before pairing on BOTH sides, keeping the twin exact."""
+    if max_bucket is None:
+        from compress_otel_collector_spark.operators.dedup import (
+            DEFAULT_MAX_BUCKET,
+        )
+        max_bucket = DEFAULT_MAX_BUCKET
     r = num_hashes // bands
     sigs = ", ".join(
         f"min(md5(shingle || '#{s}')) AS sig{s}" for s in range(num_hashes)
@@ -751,9 +774,12 @@ def _minhash_sql(num_hashes: int = 8, bands: int = 2) -> str:
     return (
         _SHINGLES_CTE
         + f", sig AS (SELECT doc_id, {sigs} FROM sh GROUP BY doc_id)"
-        + f", banded AS ({band_selects}) "
+        + f", banded AS ({band_selects})"
+        + ", cold AS (SELECT bucket FROM banded GROUP BY bucket "
+        + f"HAVING count(*) <= {max_bucket})"
+        + ", ok AS (SELECT banded.* FROM banded JOIN cold USING (bucket)) "
         + "SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id "
-        + "FROM banded a JOIN banded b "
+        + "FROM ok a JOIN ok b "
         + "ON a.bucket = b.bucket AND a.doc_id < b.doc_id"
     )
 
@@ -1142,6 +1168,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "fingerprint": """
             SELECT doc_id, substr(md5(text), 1, 16) AS fingerprint
+            FROM documents
+        """,
+        # the flagship correctness gate: every page encodes to the wire and
+        # decodes back with zero multiset mismatches across all ~29
+        # receiver-rebuilt fields, so the correct answer is a constant —
+        # one decoded span per document, nothing missing, nothing extra
+        # (ref analog: the live encode→decode loop, exporter/trace.go:184-201
+        # → receiver/trace.go:36-42)
+        "codec_roundtrip": """
+            SELECT count(*) AS decoded_spans,
+                   CAST(0 AS BIGINT) AS missing,
+                   CAST(0 AS BIGINT) AS extra
             FROM documents
         """,
     }

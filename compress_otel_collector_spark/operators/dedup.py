@@ -13,8 +13,8 @@ Scale notes (the 100 TB story):
 - MinHash+LSH: the scale path — signatures are one narrow pass; the only
   shuffle is groupBy(band, bucket), and candidate verification touches just
   bucket-mates. Band/row parameters trade recall vs candidate volume.
-- SimHash: one narrow pass producing a 16-bit fingerprint; near-dup pairs =
-  equal or small-hamming fingerprints (bucket join on the fingerprint).
+- SimHash: one narrow pass producing a 64-bit fingerprint; near-dup pairs =
+  equal or small-hamming fingerprints (banded bucket join, 4 × 16-bit).
 - embedding cosine: see ``similarity.py``.
 """
 
@@ -171,9 +171,18 @@ def lsh_hot_buckets(df: DataFrame, max_bucket: int, num_hashes: int = 8,
     )
 
 
+#: default hot-bucket cap: a bucket is a candidate *cluster*, and real
+#: near-dup clusters are small; anything larger is a degenerate band value
+#: (boilerplate/empty docs) whose in-bucket pairing is quadratic. 100 keeps
+#: every real cluster at tested scales while bounding any bucket's pair
+#: fan-out at 100·99/2 ≈ 5k pairs per bucket.
+DEFAULT_MAX_BUCKET = 100
+
+
 def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 8, bands: int = 2,
                       n: int = 3,
-                      max_bucket: int | None = None) -> DataFrame:
+                      max_bucket: int | None = DEFAULT_MAX_BUCKET
+                      ) -> DataFrame:
     """LSH candidate pairs: docs sharing any band of minhash components.
 
     rows-per-band = num_hashes/bands; a pair collides on a band iff all its
@@ -192,7 +201,10 @@ def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 8, bands: int = 2,
     dropped). The hot-bucket list is tiny by construction — at most
     n_rows·bands/max_bucket entries — so the anti-join broadcasts; the
     skewed key never produces a quadratic task (and the collected id array
-    stays bounded by the cap).
+    stays bounded by the cap). The cap is ON by default
+    (:data:`DEFAULT_MAX_BUCKET`) — r2 shipped it opt-in, which left the
+    default path carrying the quadratic hot-bucket risk the cap exists to
+    remove; pass ``max_bucket=None`` to disable explicitly.
     """
     stacked = _lsh_stacked(df, num_hashes, bands, n)
     if max_bucket is not None:
@@ -217,30 +229,56 @@ def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 8, bands: int = 2,
     )
 
 
-def simhash(df: DataFrame, bits: int = 16, text_col: str = "text",
+def simhash(df: DataFrame, bits: int = 64, text_col: str = "text",
             id_col: str = "doc_id") -> DataFrame:
-    """16-bit SimHash from token md5s (engine-portable bit derivation).
+    """64-bit SimHash from token md5 nibbles (engine-portable derivation).
 
-    bit_i of a token = parity class of hex digit i of md5(token); the
-    fingerprint bit is the sign of the token-weighted sum. One narrow pass;
+    bit ``i`` of a token = bit ``i % 4`` of hex digit ``i // 4`` of
+    md5(token) — 4 bits per hex char, 16 hex chars for 64 bits (the DuckDB
+    twin computes the identical bits). The fingerprint bit is the sign of
+    the token-weighted sum; bit 63 enters as -2**63 so the fingerprint is
+    an ordinary two's-complement BIGINT in both engines. One narrow pass;
     near-dups share fingerprints (or land within small hamming distance).
+
+    64 bits matter at scale: banding into 4 × 16-bit bands gives each band
+    ~min(N, 65536) buckets, so bucket membership shrinks with corpus
+    growth — the r2 16-bit variant had only 16 values per band, which made
+    per-bucket candidate generation effectively quadratic.
     """
+    if bits % 4 or not 0 < bits <= 64:
+        raise ValueError(f"bits must be a positive multiple of 4 <= 64, "
+                         f"got {bits}")
     tok = F.explode(F.split(F.col(text_col), " ")).alias("token")
     toks = df.select(F.col(id_col).alias("doc_id"), tok).where(
         F.col("token") != "")
     h = F.md5(F.col("token"))
-    contribs = [
-        (F.when(
-            F.substring(h, i + 1, 1).isin(*list("89abcdef")), 1
-        ).otherwise(-1)).alias(f"c{i}")
-        for i in range(bits)
-    ]
-    per_tok = toks.select("doc_id", *contribs)
+    # parse 8 hex chars per conv (2 string parses per token instead of 16);
+    # hex char p is the most significant digit of its group, so digit p's
+    # bit b sits at group bit (7 - p%8)*4 + b
+    groups = toks.select("doc_id", *[
+        F.conv(F.substring(h, 8 * g + 1, 8), 16, 10).cast("long")
+        .alias(f"g{g}")
+        for g in range((bits + 31) // 32)
+    ])
+
+    def _bit(i: int) -> Column:
+        p, b = i // 4, i % 4
+        return (F.shiftright(F.col(f"g{p // 8}"), (7 - p % 8) * 4 + b)
+                .bitwiseAND(F.lit(1)))
+
+    per_tok = groups.select(
+        "doc_id", *[_bit(i).alias(f"c{i}") for i in range(bits)])
+    # ±1 sign-of-sum ≡ majority vote: sum(±1) = 2·ones − n > 0 ⇔ 2·ones > n
     agg = per_tok.groupBy("doc_id").agg(
+        F.count("*").alias("n"),
         *[F.sum(f"c{i}").alias(f"s{i}") for i in range(bits)]
     )
     fingerprint = sum(
-        (F.when(F.col(f"s{i}") > 0, 1).otherwise(0)
+        (F.when(2 * F.col(f"s{i}") > F.col("n"),
+                F.lit(-9223372036854775808).cast("long"))
+         .otherwise(F.lit(0).cast("long")))
+        if i == 63 else
+        (F.when(2 * F.col(f"s{i}") > F.col("n"), 1).otherwise(0)
          * F.lit(2 ** i)).cast("long")
         for i in range(bits)
     )
@@ -248,17 +286,25 @@ def simhash(df: DataFrame, bits: int = 16, text_col: str = "text",
 
 
 def simhash_hamming_pairs(df: DataFrame, max_distance: int = 3,
-                          bits: int = 16) -> DataFrame:
+                          bits: int = 64) -> DataFrame:
     """Near-dup pairs within hamming distance ``max_distance`` of SimHash.
 
-    Banding on the fingerprint: the 16-bit fingerprint splits into 4
-    nibbles; ≤3 differing bits touch ≤3 nibbles, so every pair within
-    distance 3 shares at least one (band, nibble) bucket — full recall by
-    the pigeonhole argument. Candidates join only on bucket-mates (the
-    same bucketed shape as MinHash-LSH, never all-pairs), then exact
-    ``bit_count(xor)`` verifies the distance.
+    Banding on the fingerprint: the 64-bit fingerprint splits into 4
+    16-bit bands; ≤3 differing bits touch ≤3 bands, so every pair within
+    distance 3 shares at least one (band, value) bucket — full recall by
+    the pigeonhole argument (requires ``max_distance < n_bands``, enforced
+    below). Candidates join only on bucket-mates (the same bucketed shape
+    as MinHash-LSH, never all-pairs), then exact ``bit_count(xor)``
+    verifies the distance. With 16-bit band values each band has
+    ~min(N, 65536) distinct buckets, so candidate volume tracks the true
+    near-dup tail instead of N²/16 (the r2 16-bit defect).
     """
     n_bands = 4
+    if max_distance >= n_bands:
+        raise ValueError(
+            f"max_distance={max_distance} breaks the pigeonhole recall "
+            f"guarantee: {n_bands} bands only guarantee full recall for "
+            f"distance <= {n_bands - 1}")
     width = bits // n_bands
     s = simhash(df, bits=bits)
     banded = s.select(
@@ -299,7 +345,7 @@ def simhash_hamming_pairs(df: DataFrame, max_distance: int = 3,
     )
 
 
-def simhash_dup_groups(df: DataFrame, bits: int = 16) -> DataFrame:
+def simhash_dup_groups(df: DataFrame, bits: int = 64) -> DataFrame:
     """Documents sharing a SimHash fingerprint (candidate near-dup groups)."""
     s = simhash(df, bits=bits)
     return (

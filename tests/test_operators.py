@@ -92,10 +92,33 @@ class TestSimHash:
         groups = simhash_dup_groups(docs_with_dups)
         assert groups.agg(F.sum("n_docs")).collect()[0][0] >= 20
 
-    def test_fingerprint_range(self, docs):
+    def test_fingerprint_uses_full_64_bits(self, docs):
+        """Fingerprints must spread over the whole 64-bit space (two's
+        complement: bit 63 set ⇔ negative long) — a range collapse would
+        recreate the r2 16-bit banding defect."""
         s = simhash(docs)
-        row = s.agg(F.min("simhash"), F.max("simhash")).collect()[0]
-        assert 0 <= row[0] and row[1] < 2 ** 16
+        row = s.agg(F.min("simhash").alias("lo"),
+                    F.max("simhash").alias("hi")).collect()[0]
+        assert row["lo"] < 0 < row["hi"]  # both halves of the space hit
+        assert row["hi"] - row["lo"] > 2 ** 62
+
+    def test_bits_validation(self, docs):
+        import pytest
+
+        with pytest.raises(ValueError):
+            simhash(docs, bits=65)
+        with pytest.raises(ValueError):
+            simhash(docs, bits=10)
+
+    def test_max_distance_validation(self, docs):
+        import pytest
+
+        from compress_otel_collector_spark.operators.dedup import (
+            simhash_hamming_pairs,
+        )
+
+        with pytest.raises(ValueError):
+            simhash_hamming_pairs(docs, max_distance=4)
 
 
 class TestSimilarity:
@@ -185,9 +208,16 @@ class TestLSHBucketCap:
         )
         both = docs.select("doc_id", "text").unionByName(degenerate)
 
-        capped = minhash_lsh_pairs(both, max_bucket=100).where(
+        # the DEFAULT path must be the safe one (r2 verdict: the cap was
+        # opt-in, so every default call carried the quadratic risk)
+        capped = minhash_lsh_pairs(both).where(
             (F.col("a_id") >= 500000) & (F.col("b_id") >= 500000))
         assert capped.count() == 0  # hot bucket never reaches the join
+
+        # opting OUT must be explicit
+        uncapped = minhash_lsh_pairs(both, max_bucket=None).where(
+            (F.col("a_id") >= 500000) & (F.col("b_id") >= 500000))
+        assert uncapped.count() > 100_000
 
         hot = lsh_hot_buckets(both, max_bucket=100).collect()
         assert len(hot) >= 1
