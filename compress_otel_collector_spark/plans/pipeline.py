@@ -119,7 +119,13 @@ def span_stage(df: DataFrame) -> DataFrame:
 def _span_events_cells(doc_ids, starts, events_every: int):
     """Vectorized events column: object array, one 1-event list per selected
     row (doc_id % events_every == 0), None elsewhere. Selection, times and
-    the attribute mask are numpy; Python touches only rows WITH events."""
+    the attribute mask are numpy; Python touches only rows WITH events.
+
+    Every 20th page's event carries a NESTED attribute value (an object
+    containing an array) so the free-map nested wire path
+    (encode.go:520-597) runs at pipeline scale on every blob, not only in
+    codec unit tests (r2 verdict gap #4).
+    """
     import numpy as np
 
     ev = np.full(len(doc_ids), None, dtype=object)
@@ -128,11 +134,13 @@ def _span_events_cells(doc_ids, starts, events_every: int):
         # int64 BEFORE the add: a float64 ns timestamp rounds at 256 ns
         times = np.asarray(starts, dtype=np.int64)[sel] + 1_000_000
         with_phase = doc_ids[sel] % 20 == 0
+        nested = {"phase": "connect",
+                  "probe": {"ttl": 64, "hops": [1, 2]}}
         for j in range(len(sel)):
             ev[sel[j]] = [{
                 "timeUnixNano": int(times[j]),
                 "name": "fetch",
-                "attributes": {"phase": "connect"} if with_phase[j] else {},
+                "attributes": nested if with_phase[j] else {},
                 "droppedAttributesCount": 0,
             }]
     return ev
@@ -422,6 +430,8 @@ _ROUNDTRIP_SCHEMA = StructType([
     StructField("event_name", StringType()),
     StructField("event_time_ns", LongType()),
     StructField("event_phase", StringType()),
+    StructField("event_probe_ttl", LongType()),
+    StructField("event_probe_hops", StringType()),
     StructField("n_links", LongType()),
     StructField("link_trace_hex", StringType()),
     StructField("link_span_hex", StringType()),
@@ -464,6 +474,8 @@ def roundtrip_check(encoded: DataFrame) -> DataFrame:
                             links = sp.get("links") or []
                             ev = events[0] if events else {}
                             ev_attrs = ev.get("attributes") or {}
+                            probe = ev_attrs.get("probe") or {}
+                            hops = probe.get("hops")
                             ln = links[0] if links else {}
                             ln_attrs = ln.get("attributes") or {}
                             tid = sp.get("traceId")
@@ -501,6 +513,10 @@ def roundtrip_check(encoded: DataFrame) -> DataFrame:
                                 "event_name": ev.get("name"),
                                 "event_time_ns": ev.get("timeUnixNano"),
                                 "event_phase": ev_attrs.get("phase"),
+                                "event_probe_ttl": probe.get("ttl"),
+                                "event_probe_hops":
+                                    None if hops is None else
+                                    ",".join(str(x) for x in hops),
                                 "n_links": len(links),
                                 "link_trace_hex":
                                     ltid.hex() if ltid else None,
@@ -566,6 +582,12 @@ def expected_roundtrip(spans: DataFrame, events_every: int = 10,
         .alias("event_time_ns"),
         F.when(has_event & (c % 20 == 0), "connect").otherwise(null_s)
         .alias("event_phase"),
+        # the nested free-map attribute (object-in-map with an int + an
+        # int array): ttl and the joined hops list must survive the wire
+        F.when(has_event & (c % 20 == 0), F.lit(64).cast("long"))
+        .otherwise(null_l).alias("event_probe_ttl"),
+        F.when(has_event & (c % 20 == 0), "1,2").otherwise(null_s)
+        .alias("event_probe_hops"),
         F.when(has_link, F.lit(1)).otherwise(F.lit(0)).cast("long")
         .alias("n_links"),
         F.when(has_link, md5url).otherwise(null_s).alias("link_trace_hex"),
