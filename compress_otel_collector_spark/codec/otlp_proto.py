@@ -237,10 +237,16 @@ def encode_traces_proto(document: dict) -> bytes:
 
 def spans_rows_to_proto(rows, resource_attrs: dict, scope: dict,
                         schema_url: str = "") -> bytes:
-    """TracesData for one resource group from span dict rows (the fast path
-    the encode stage uses: no intermediate document tree)."""
+    """TracesData for one resource group from span dict rows (the generic
+    path; the encode stage's hot arm uses :func:`spans_columns_to_proto`)."""
     res_payload = _attributes(1, resource_attrs)
     spans_b = b"".join(_len_delim(2, _span(sp)) for sp in rows)
+    return _wrap_resource_group(spans_b, resource_attrs, scope, schema_url)
+
+
+def _wrap_resource_group(spans_b: bytes, resource_attrs: dict, scope: dict,
+                         schema_url: str = "") -> bytes:
+    res_payload = _attributes(1, resource_attrs)
     scope_b = _scope(scope)
     ss = _len_delim(2, (
         (_len_delim(1, scope_b) if scope_b else b"")
@@ -248,3 +254,158 @@ def spans_rows_to_proto(rows, resource_attrs: dict, scope: dict,
     ))
     return _len_delim(1, _len_delim(1, res_payload) + ss
                       + _f_str(3, schema_url))
+
+
+#: precomputed small varints (proto lengths are overwhelmingly < 16384)
+_VAR = [_varint(i) for i in range(16384)]
+
+
+def _v(n: int) -> bytes:
+    return _VAR[n] if n < 16384 else _varint(n)
+
+
+def spans_columns_to_proto(
+    trace_id, span_id, trace_state, name, kind, start_ns, end_ns,
+    url, n_chars, events, links, dropped_links,
+    status_message, status_code,
+    const_attrs: dict, resource_attrs: dict, scope: dict,
+    schema_url: str = "",
+) -> bytes:
+    """Column-driven TracesData marshal for the bench comparison arm.
+
+    Same wire bytes as :func:`spans_rows_to_proto` over the pipeline's span
+    shape (pinned by a wire-equality test), but built from the already-
+    columnar numpy arrays: constant/low-cardinality fields come from caches,
+    timestamps are packed with one vectorized ``astype('<u8')`` per column,
+    and only genuinely per-row payloads (the unique url attribute, the
+    sparse events/links) touch Python per row — no intermediate dict per
+    span (r2 verdict: the dict genexp made ``pipeline_arms`` cost 1.4× the
+    production pipeline).
+
+    ``const_attrs`` are attributes identical on every span of the batch
+    (status code, lang); their KeyValue bytes are assembled once.
+    """
+    import numpy as np
+
+    n = len(url)
+    # ids: fixed-width -> constant prefixes
+    p_tid = _tag(1, 2) + _v(16)
+    p_sid = _tag(2, 2) + _v(8)
+    id_pieces = [p_tid + bytes(t) + p_sid + bytes(s)
+                 for t, s in zip(trace_id, span_id)]
+    # trace_state / name / kind: low-cardinality -> dict caches
+    ts_cache = {None: b"", "": b""}
+    name_cache: dict = {}
+    kind_cache: dict = {}
+    ts_pieces = [
+        ts_cache.get(t) if t in ts_cache else
+        ts_cache.setdefault(t, _f_str(3, t)) for t in trace_state
+    ]
+    name_pieces = [
+        name_cache.get(v) if v in name_cache else
+        name_cache.setdefault(v, _f_str(5, v)) for v in name
+    ]
+    kind_pieces = [
+        kind_cache.get(int(v)) if int(v) in kind_cache else
+        kind_cache.setdefault(int(v), _f_varint(6, int(v))) for v in kind
+    ]
+    # timestamps: one (n, 18) matrix [tag7 | 8 LE bytes | tag8 | 8 LE bytes]
+    tmat = np.empty((n, 18), dtype=np.uint8)
+    tmat[:, 0] = _tag(7, 1)[0]
+    tmat[:, 1:9] = (
+        np.asarray(start_ns, dtype=np.int64).astype("<u8")
+        .view(np.uint8).reshape(n, 8))
+    tmat[:, 9] = _tag(8, 1)[0]
+    tmat[:, 10:18] = (
+        np.asarray(end_ns, dtype=np.int64).astype("<u8")
+        .view(np.uint8).reshape(n, 8))
+    tbytes = tmat.tobytes()
+    # attributes: unique url per row (tight inline build), constants once,
+    # small-int n_chars cached
+    url_key = _f_str(1, "http.url")
+    t9, t2, t1 = _tag(9, 2), _tag(2, 2), _tag(1, 2)
+    const_b = b"".join(
+        _kv_cached(9, k, type(v).__name__, v) for k, v in const_attrs.items()
+    )
+    nchars_cache: dict = {}
+
+    def _url_kv(u: str) -> bytes:
+        ub = u.encode("utf-8")
+        inner = t1 + _v(len(ub)) + ub            # AnyValue.string_value
+        val = t2 + _v(len(inner)) + inner        # KeyValue.value
+        kv = url_key + val
+        return t9 + _v(len(kv)) + kv
+
+    attr_pieces = [
+        _url_kv(u) + const_b + (
+            nchars_cache.get(c) if c in nchars_cache else
+            nchars_cache.setdefault(
+                c, _kv_cached(9, "n_chars", "int", int(c))))
+        for u, c in zip(url, (int(x) for x in n_chars))
+    ]
+    # events / links: sparse; cached non-varying suffixes + per-row times/ids
+    t11, t13 = _tag(11, 2), _tag(13, 2)
+    ev_suffix_cache: dict = {}
+
+    def _events_piece(evs) -> bytes:
+        if not evs:
+            return b""
+        out = b""
+        for e in evs:
+            key = (e.get("name"), _freeze_attrs(e.get("attributes")),
+                   e.get("droppedAttributesCount") or 0)
+            suffix = ev_suffix_cache.get(key)
+            if suffix is None:
+                suffix = (_f_str(2, e.get("name"))
+                          + _attributes(3, e.get("attributes"))
+                          + _f_varint(4, key[2]))
+                ev_suffix_cache[key] = suffix
+            payload = _f_fixed64(1, e.get("timeUnixNano") or 0) + suffix
+            out += t11 + _v(len(payload)) + payload
+        return out
+
+    def _links_piece(lns) -> bytes:
+        if not lns:
+            return b""
+        out = b""
+        for ln in lns:
+            payload = _link(ln)
+            out += t13 + _v(len(payload)) + payload
+        return out
+
+    dl_cache: dict = {}
+    dl_pieces = [
+        dl_cache.get(int(d)) if int(d) in dl_cache else
+        dl_cache.setdefault(int(d), _f_varint(14, int(d)))
+        for d in dropped_links
+    ]
+    status_pieces = [
+        _status_cached(m, int(c))
+        for m, c in zip(status_message, status_code)
+    ]
+    t_span = _tag(2, 2)
+    spans_b = b"".join(
+        t_span + _v(
+            len(idp) + len(tsp) + len(nmp) + len(kp) + 18 + len(ap)
+            + len(evp) + len(lkp) + len(dlp) + len(stp))
+        + idp + tsp + nmp + kp + tbytes[18 * i:18 * i + 18] + ap
+        + evp + lkp + dlp + stp
+        for i, (idp, tsp, nmp, kp, ap, evp, lkp, dlp, stp) in enumerate(zip(
+            id_pieces, ts_pieces, name_pieces, kind_pieces, attr_pieces,
+            (_events_piece(e) for e in events),
+            (_links_piece(l) for l in links),
+            dl_pieces, status_pieces,
+        ))
+    )
+    return _wrap_resource_group(spans_b, resource_attrs, scope, schema_url)
+
+
+def _freeze_attrs(attrs):
+    """Hashable cache key for a (possibly nested) attribute dict."""
+    if not attrs:
+        return None
+    return tuple(
+        (k, _freeze_attrs(v) if isinstance(v, dict)
+         else (tuple(v) if isinstance(v, list) else v))
+        for k, v in attrs.items()
+    )

@@ -51,7 +51,7 @@ from pyspark.sql.types import (
 from ..codec.batch import DEFAULT_SCOPE, encode_span_dataframe
 from ..codec.decoder import decode as decode_blob
 from ..codec.definition import trace_model
-from ..codec.otlp_proto import spans_rows_to_proto
+from ..codec.otlp_proto import spans_columns_to_proto
 from ..functions.columns import (
     extract_text_expr,
     extract_text_pandas,
@@ -181,7 +181,10 @@ def _encode_batches(arms: bool, events_every: int = 10,
         from pyspark import TaskContext
 
         zstd = pa.Codec("zstd")
-        gzip = pa.Codec("gzip")
+        # level 6 = Go's gzip.DefaultCompression, the reference's setting
+        # (pgzip writer, trace.go:32-38); pyarrow's default is 9, which is
+        # ~1.5x slower for ~0.3% size
+        gzip = pa.Codec("gzip", compression_level=6)
         ctx = TaskContext.get()
         part_id = ctx.partitionId() if ctx is not None else -1
         for pdf in iterator:
@@ -230,41 +233,28 @@ def _encode_batches(arms: bool, events_every: int = 10,
                     gz = len(gzip.compress(blob, asbytes=True))
                     # protobuf arm — the reference's REAL comparison
                     # (trace.go:41-67: ptrace ProtoMarshaler + zstd), full
-                    # fidelity incl. events/links/attributes
+                    # fidelity incl. events/links/attributes. Column-driven
+                    # marshal (no per-row dicts); wire-equality with the
+                    # row marshaler is pinned by tests.
                     lang_attr = (
                         {} if lang is None or pd.isna(lang)
                         else {"lang": lang})
-                    proto_rows = (
-                        {
-                            "traceId": bytes(t), "spanId": bytes(s),
-                            "parentSpanId": b"", "traceState": ts,
-                            "name": nm, "kind": int(k),
-                            "startTimeUnixNano": int(st),
-                            "endTimeUnixNano": int(en),
-                            "attributes": {
-                                "http.url": u, "http.status_code": 200,
-                                **lang_attr, "n_chars": int(nc),
-                            },
-                            "droppedAttributesCount": 0,
-                            "events": ev or [], "droppedEventsCount": 0,
-                            "links": lk or [],
-                            "droppedLinksCount": int(dl),
-                            "status": {"message": sm, "code": int(sc)},
-                        }
-                        for t, s, ts, nm, k, st, en, u, nc, ev, lk, dl,
-                        sm, sc in zip(
-                            spans["trace_id"], spans["span_id"],
-                            spans["trace_state"], spans["name"],
-                            spans["kind"], spans["start_ns"],
-                            spans["end_ns"], spans["attr:http.url"],
-                            spans["attr:n_chars"], spans["events"],
-                            spans["links"],
-                            spans["dropped_links_count"],
-                            spans["status_message"], spans["status_code"],
-                        )
-                    )
-                    proto = spans_rows_to_proto(
-                        proto_rows,
+                    proto = spans_columns_to_proto(
+                        spans["trace_id"].to_numpy(),
+                        spans["span_id"].to_numpy(),
+                        spans["trace_state"].to_numpy(),
+                        spans["name"].to_numpy(),
+                        spans["kind"].to_numpy(),
+                        spans["start_ns"].to_numpy(),
+                        spans["end_ns"].to_numpy(),
+                        spans["attr:http.url"].to_numpy(),
+                        spans["attr:n_chars"].to_numpy(),
+                        spans["events"].to_numpy(),
+                        spans["links"].to_numpy(),
+                        spans["dropped_links_count"].to_numpy(),
+                        spans["status_message"].to_numpy(),
+                        spans["status_code"].to_numpy(),
+                        const_attrs={"http.status_code": 200, **lang_attr},
                         resource_attrs={
                             "service.name": f"crawler-{lang}",
                             "host.bucket": int(bucket),
@@ -276,13 +266,12 @@ def _encode_batches(arms: bool, events_every: int = 10,
                     # comparison, trace.go:95-105): OTLP-JSON-style hex ids;
                     # attr:* columns carry the attribute content; events and
                     # links serialize too (full fidelity, like the codec)
-                    json_view = spans.drop(
-                        columns=["attributes"], errors="ignore",
-                    ).assign(
+                    base = (spans.drop(columns=["attributes"])
+                            if "attributes" in spans.columns else spans)
+                    json_view = base.assign(
                         trace_id=[t.hex() for t in spans["trace_id"]],
                         span_id=[s.hex() for s in spans["span_id"]],
-                        parent_span_id=[p.hex() for p in
-                                        spans["parent_span_id"]],
+                        parent_span_id="",  # always empty bytes -> ""
                         links=[
                             None if lk is None else [
                                 {**x, "traceId": x["traceId"].hex(),

@@ -190,3 +190,100 @@ def test_attribute_cache_is_type_keyed():
     # and repeated lookups stay stable (cache returns the right variant)
     assert _attributes(9, {"flag": True}) == b_bool
     assert _attributes(9, {"flag": 1}) == b_int
+
+
+def test_columns_marshal_equals_rows_marshal():
+    """spans_columns_to_proto (the vectorized bench arm) must emit byte-
+    identical wire to the generic row marshaler over the pipeline's span
+    shape — events (incl. nested attrs), links, trace state, statuses."""
+    import numpy as np
+
+    from compress_otel_collector_spark.codec.batch import DEFAULT_SCOPE
+    from compress_otel_collector_spark.codec.otlp_proto import (
+        spans_columns_to_proto,
+        spans_rows_to_proto,
+    )
+
+    n = 40
+    cols = {
+        "trace_id": [bytes([i % 251]) * 16 for i in range(n)],
+        "span_id": [bytes([(i * 7) % 251]) * 8 for i in range(n)],
+        "trace_state": ["cc=1" if i % 10 == 0 else "" for i in range(n)],
+        "name": ["GET /" for _ in range(n)],
+        "kind": [i % 6 for i in range(n)],
+        "start_ns": [1_700_000_000_000_000_000 + i * 1000 for i in range(n)],
+        "end_ns": [1_700_000_000_000_000_500 + i * 1000 for i in range(n)],
+        "url": [f"https://h{i % 5}.example.com/p/{i}" for i in range(n)],
+        "n_chars": [100 + i % 9 for i in range(n)],
+        "events": [
+            None if i % 10 else [{
+                "timeUnixNano": 1_700_000_000_000_001_000 + i,
+                "name": "fetch",
+                "attributes": (
+                    {"phase": "connect",
+                     "probe": {"ttl": 64, "hops": [1, 2]}}
+                    if i % 20 == 0 else {}),
+                "droppedAttributesCount": 0,
+            }] for i in range(n)
+        ],
+        "links": [
+            None if i % 7 else [{
+                "traceId": bytes([i % 251]) * 16,
+                "spanId": bytes([i % 251]) * 8,
+                "traceState": "",
+                "attributes": {"rel": "prev"},
+                "droppedAttributesCount": 0,
+            }] for i in range(n)
+        ],
+        "dropped_links": [i % 2 for i in range(n)],
+        "status_message": ["OK" if i % 4 == 0 else "" for i in range(n)],
+        "status_code": [i % 3 for i in range(n)],
+    }
+    for lang_attr in ({"lang": "en"}, {}):  # matched and null-lang groups
+        resource = {"service.name": "crawler-en", "host.bucket": 3}
+        got = spans_columns_to_proto(
+            np.array(cols["trace_id"], dtype=object),
+            np.array(cols["span_id"], dtype=object),
+            np.array(cols["trace_state"], dtype=object),
+            np.array(cols["name"], dtype=object),
+            np.array(cols["kind"]),
+            np.array(cols["start_ns"], dtype=np.int64),
+            np.array(cols["end_ns"], dtype=np.int64),
+            np.array(cols["url"], dtype=object),
+            np.array(cols["n_chars"]),
+            np.array(cols["events"], dtype=object),
+            np.array(cols["links"], dtype=object),
+            np.array(cols["dropped_links"]),
+            np.array(cols["status_message"], dtype=object),
+            np.array(cols["status_code"]),
+            const_attrs={"http.status_code": 200, **lang_attr},
+            resource_attrs=resource,
+            scope=DEFAULT_SCOPE,
+        )
+        rows = [
+            {
+                "traceId": cols["trace_id"][i],
+                "spanId": cols["span_id"][i],
+                "parentSpanId": b"",
+                "traceState": cols["trace_state"][i],
+                "name": cols["name"][i],
+                "kind": cols["kind"][i],
+                "startTimeUnixNano": cols["start_ns"][i],
+                "endTimeUnixNano": cols["end_ns"][i],
+                "attributes": {
+                    "http.url": cols["url"][i], "http.status_code": 200,
+                    **lang_attr, "n_chars": cols["n_chars"][i],
+                },
+                "droppedAttributesCount": 0,
+                "events": cols["events"][i] or [],
+                "droppedEventsCount": 0,
+                "links": cols["links"][i] or [],
+                "droppedLinksCount": cols["dropped_links"][i],
+                "status": {"message": cols["status_message"][i],
+                           "code": cols["status_code"][i]},
+            }
+            for i in range(n)
+        ]
+        want = spans_rows_to_proto(rows, resource_attrs=resource,
+                                   scope=DEFAULT_SCOPE)
+        assert got == want
