@@ -627,6 +627,95 @@ def _q_ivf_similarity(spark, sf_dir):
                     k=5, n_queries=20, n_cells=16, n_probe=4)
 
 
+def _q_pipeline_resume(spark, sf_dir):
+    """Routed-sink resume, observable in the driver ledger: run the
+    pipeline, delete one route's partition dir, rerun with resume=True.
+    The rerun must restore exactly the deleted route and must NOT touch
+    any other route (the null-safe broadcast anti-join skips completed
+    routes). Aggregates are collected eagerly (tiny: one row per route)
+    so the returned frame is plain values independent of the temp sink.
+    """
+    import shutil
+    import tempfile
+
+    from compress_otel_collector_spark.plans.pipeline import (
+        read_routed,
+        run_pipeline,
+    )
+
+    out = tempfile.mkdtemp(prefix="resume_probe_")
+    try:
+        pages = pages_from_documents(spark, sf_dir)
+        run_pipeline(spark, pages, out, n_salts=4, arms=False)
+
+        def snapshot():
+            rows = (
+                read_routed(spark, out)
+                .groupBy("lang", "host_bucket")
+                .agg(F.count("*").alias("blobs"),
+                     F.sum("n_spans").alias("pages"),
+                     F.sort_array(F.collect_list("blob_sha256"))
+                     .alias("shas"))
+                .collect()
+            )
+            return {(r["lang"], r["host_bucket"]):
+                    (r["blobs"], r["pages"], tuple(r["shas"]))
+                    for r in rows}
+
+        first = snapshot()
+        victim = sorted(k for k in first if k[0] is not None)[0]
+        shutil.rmtree(f"{out}/routed/lang={victim[0]}"
+                      f"/host_bucket={victim[1]}")
+        routes_after_delete = len(snapshot())
+
+        run_pipeline(spark, pages, out, n_salts=4, arms=False, resume=True)
+        second = snapshot()
+
+        others_changed = sum(
+            1 for k in first
+            if k != victim and second.get(k) != first[k]
+        )
+        row = {
+            "routes_total": len(first),
+            "routes_after_delete": routes_after_delete,
+            "routes_after_resume": len(second),
+            "pages_first": sum(v[1] for v in first.values()),
+            "pages_resumed": sum(v[1] for v in second.values()),
+            "victim_pages_first": first[victim][1],
+            "victim_pages_resumed": second.get(victim, (0, 0, ()))[1],
+            "other_routes_changed": others_changed,
+        }
+        return spark.createDataFrame(
+            [row],
+            "routes_total long, routes_after_delete long, "
+            "routes_after_resume long, pages_first long, "
+            "pages_resumed long, victim_pages_first long, "
+            "victim_pages_resumed long, other_routes_changed long",
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def _q_ann_recall(spark, sf_dir):
+    """Recall@5 of both approximate indexes vs the brute-force baseline —
+    deterministic (fixed hyperplanes / centroid seeds), so the two rows are
+    exact pinnable numbers even though no SQL twin exists (LSH/IVF in pure
+    SQL would re-implement the index, not check it)."""
+    from compress_otel_collector_spark.operators.similarity import (
+        topk_recall,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = cosine_topk(emb, k=5, n_queries=20)
+    lsh = lsh_cosine_topk(emb, k=5, n_queries=20, n_planes=4, n_tables=4)
+    ivf = ivf_topk(emb, k=5, n_queries=20, n_cells=16, n_probe=4)
+    return (
+        topk_recall(lsh, exact, "lsh")
+        .unionByName(topk_recall(ivf, exact, "ivf"))
+        .orderBy("method")
+    )
+
+
 def _q_multimodal_features(spark, sf_dir):
     media = synthesize_media(load_table(spark, sf_dir, "documents"))
     feats = extract_features(media)
@@ -691,6 +780,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_arms": _q_pipeline_arms,
         "lsh_similarity": _q_lsh_similarity,
         "ivf_similarity": _q_ivf_similarity,
+        "ann_recall": _q_ann_recall,
+        "pipeline_resume": _q_pipeline_resume,
         "sketch_stats": _q_sketch_stats,
         "multimodal_features": _q_multimodal_features,
     }

@@ -96,8 +96,8 @@ class _Pools:
                 # batch encoder, so an empty pool means factorize's
                 # first-appearance codes ARE the pool indices (None → -1,
                 # exactly the null contract). Only uniques touch Python.
-                codes, uniques = pd.factorize(
-                    pd.Series(np.asarray(arr, dtype=object)))
+                # _factorize_exact keeps NUL-containing strings distinct.
+                codes, uniques = _factorize_exact(arr)
                 for u in uniques:
                     pool[u] = len(pool)
                     uniq.append(u)
@@ -144,6 +144,31 @@ class _Pools:
                     f"pool {pid!r} grew while encoding {pool_id!r} entries — "
                     "a child value was not pre-collected"
                 )
+
+
+def _factorize_exact(values) -> tuple[np.ndarray, list]:
+    """``pd.factorize`` with exact string identity.
+
+    pandas' string hashtable hashes values as C strings — it truncates at
+    the first embedded NUL, conflating ``'a'`` with ``'a\\x00b'`` (and
+    ``''`` with ``'\\x00'``), which would alias distinct pool entries and
+    corrupt the wire. Encoding str values to utf-8 bytes routes them
+    through the object hashtable, which hashes full contents. Returned
+    uniques keep the encoded (bytes) form — first-appearance order, None
+    mapped to code -1.
+    """
+    vals = np.asarray(values, dtype=object)
+    enc = np.array(
+        [v.encode("utf-8") if type(v) is str else v for v in vals],
+        dtype=object,
+    )
+    codes, _ = pd.factorize(pd.Series(enc))
+    # map uniques back to the ORIGINAL value objects (pool keys must stay
+    # str — the scalar encoder's shared state is keyed by raw values):
+    # codes are first-appearance-ordered, so the first index per code is
+    # that unique's first occurrence
+    uc, fi = np.unique(codes, return_index=True)
+    return codes, list(vals[fi[uc >= 0]])
 
 
 def _null_mask(col: np.ndarray) -> np.ndarray:
@@ -271,9 +296,9 @@ def _coerce_bytes(col) -> np.ndarray:
 
 def _string_pool_codes(values, st: _State) -> np.ndarray:
     """Get-or-insert string-pool indices for a column, vectorized via
-    factorize (only the per-unique mapping touches the dict)."""
-    codes, uniques = pd.factorize(
-        pd.Series(np.asarray(values, dtype=object)))
+    factorize (only the per-unique mapping touches the dict). Uses the
+    NUL-exact factorize (the shared string pool is keyed by raw str)."""
+    codes, uniques = _factorize_exact(np.asarray(values, dtype=object))
     if len(codes) and (codes < 0).any():
         # factorize maps None/NaN to -1; indexing mapped[-1] would silently
         # substitute the last pool entry — corrupt output, so refuse loudly.
@@ -411,7 +436,7 @@ def encode_span_dataframe(
         col_codes = []
         total_bits = 0.0
         for k in keys_sorted:
-            codes, uniques = pd.factorize(pd.Series(acols[k]))
+            codes, uniques = _factorize_exact(acols[k])
             card = len(uniques) + 2  # +1: null code -1 shifts to 0
             total_bits += np.log2(card)
             col_codes.append((codes, card))

@@ -197,26 +197,25 @@ def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 8, bands: int = 2,
     one lineage, and its only shuffle is the groupBy(bucket).
 
     ``max_bucket`` caps the per-bucket fan-out: buckets larger than the cap
-    are dropped before pairing (see :func:`lsh_hot_buckets` for what was
-    dropped). The hot-bucket list is tiny by construction — at most
-    n_rows·bands/max_bucket entries — so the anti-join broadcasts; the
-    skewed key never produces a quadratic task (and the collected id array
-    stays bounded by the cap). The cap is ON by default
+    are dropped AFTER the single groupBy(bucket) aggregate, INSIDE the one
+    lineage (``size(ids) > cap`` ⇒ drop before pair explosion). This kills
+    the quadratic bomb — a B-member hot bucket would emit B·(B−1)/2 pairs;
+    the residual cost of having collected its id array once is linear in B
+    and is paid exactly once. (A pre-filter anti-join would bound that
+    buffer too, but it recomputes the whole scan→shingle→md5 pipeline a
+    second time for EVERY run — 2× cluster CPU always, to protect a rare
+    degenerate case; the plan pin ``tests/test_plans.py`` keeps this
+    operator at one parquet scan.) See :func:`lsh_hot_buckets` for the
+    observable dropped mass. The cap is ON by default
     (:data:`DEFAULT_MAX_BUCKET`) — r2 shipped it opt-in, which left the
     default path carrying the quadratic hot-bucket risk the cap exists to
     remove; pass ``max_bucket=None`` to disable explicitly.
     """
     stacked = _lsh_stacked(df, num_hashes, bands, n)
-    if max_bucket is not None:
-        hot = (
-            stacked.groupBy("bucket")
-            .agg(F.count("*").alias("bucket_size"))
-            .where(F.col("bucket_size") > max_bucket)
-            .select("bucket")
-        )
-        stacked = stacked.join(F.broadcast(hot), "bucket", "left_anti")
     grouped = stacked.groupBy("bucket").agg(
         F.sort_array(F.collect_set("doc_id")).alias("ids"))
+    if max_bucket is not None:
+        grouped = grouped.where(F.size("ids") <= max_bucket)
     pair_arr = F.flatten(F.transform(
         F.col("ids"),
         lambda a, i: F.transform(

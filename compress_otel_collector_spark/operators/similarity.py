@@ -183,6 +183,31 @@ def lsh_cosine_topk(embeddings: DataFrame, k: int = 5, n_queries: int = 20,
     )
 
 
+def topk_recall(approx: DataFrame, exact: DataFrame,
+                method: str) -> DataFrame:
+    """One-row recall@k of an ANN result against the exact baseline.
+
+    recall = |approx ∩ exact| / |exact| over (q_id, n_id) pairs, computed
+    as one left join + aggregate. Both inputs are deterministic (fixed
+    hyperplanes / centroid seeds over fixed data), so the emitted recall is
+    an exact, pinnable number — the honest scorecard for the approximate
+    indexes (r2 verdict #8: recall was only visible inside tests).
+    """
+    a = approx.select("q_id", "n_id").withColumn("_hit", F.lit(1))
+    e = exact.select("q_id", "n_id")
+    return (
+        e.join(a, ["q_id", "n_id"], "left")
+        .agg(F.count("*").alias("exact_pairs"),
+             F.count("_hit").alias("hit_pairs"))
+        .select(
+            F.lit(method).alias("method"),
+            "exact_pairs", "hit_pairs",
+            F.round(F.col("hit_pairs") / F.col("exact_pairs"), 4)
+            .alias("recall"),
+        )
+    )
+
+
 def _lit_vec(vals) -> Column:
     return F.array(*[F.lit(float(v)) for v in vals])
 

@@ -215,3 +215,50 @@ def test_null_str_attribute_raises():
     pdf["attr:http.url"] = ["a", "b", None, "d"]
     with pytest.raises(CodecError, match="null value"):
         encode_span_dataframe(pdf, attributes_spec={"http.url": "str"})
+
+
+def test_nul_containing_strings_stay_distinct():
+    """pandas' string hashtable hashes C strings — factorize conflates
+    'a' with 'a\\x00b' and '' with '\\x00'. Web text legitimately contains
+    NULs; every string pool must keep them distinct (found by the
+    batch≡scalar hypothesis property, pinned here deterministically)."""
+    m = trace_model()
+    rows = []
+    cases = [("", "", "", "x"), ("\x00", "a\x00b", "\x00z", "x\x00"),
+             ("a", "a\x00", "z", "\x00\x00"), ("a\x00b", "a", "z\x00", "x")]
+    for i, (nm, ts, sm, av) in enumerate(cases):
+        rows.append({
+            "trace_id": bytes([i + 1]) * 16, "span_id": bytes([i + 1]) * 8,
+            "parent_span_id": b"", "trace_state": ts, "name": nm, "kind": 2,
+            "start_ns": 1, "end_ns": 2,
+            "attributes": {"k": av, "k\x002": 1},
+            "dropped_attributes_count": 0,
+            "events": [{"timeUnixNano": 5, "name": nm, "attributes": {},
+                        "droppedAttributesCount": 0}],
+            "dropped_events_count": 0,
+            "links": [], "dropped_links_count": 0,
+            "status_message": sm, "status_code": 0, "lang": "en"})
+    pdf = pd.DataFrame(rows)
+    got = decode(encode_span_dataframe(pdf), m)
+    doc = pdf_to_document(pdf)
+    assert got == decode(encode(doc, m), m) == normalize(doc, m)
+    names = [sp["name"] for rs in got["resourceSpans"]
+             for ss in rs["scopeSpans"] for sp in ss["spans"]]
+    assert names == ["", "\x00", "a", "a\x00b"]  # name is non-nullable
+
+
+def test_nul_strings_in_columnar_attributes():
+    """Same NUL-exactness through the columnar attributes fast path
+    (attr:<key> columns + attributes_spec)."""
+    m = trace_model()
+    pdf = make_pdf(4)
+    pdf = pdf.drop(columns=["attributes"])
+    pdf["attr:v"] = ["a", "a\x00b", "a\x00", "a"]
+    pdf["attr:n"] = [1, 2, 3, 4]
+    blob = encode_span_dataframe(
+        pdf, attributes_spec={"v": "str", "n": "int"})
+    got = decode(blob, m)
+    vals = [(sp["attributes"]["v"], sp["attributes"]["n"])
+            for rs in got["resourceSpans"] for ss in rs["scopeSpans"]
+            for sp in ss["spans"]]
+    assert vals == [("a", 1), ("a\x00b", 2), ("a\x00", 3), ("a", 4)]

@@ -424,3 +424,44 @@ class TestRangeJoin:
             ("p250", "wide"),     # on hi (inclusive); interval spans 5 buckets
         ]
         assert len(pairs) == len(set(pairs))  # exactly-once per pair
+
+
+class TestANNRecall:
+    """Recall of the approximate indexes is deterministic (fixed
+    hyperplanes / centroid seeds over fixed test data) — pin it at two
+    parameter points per index, and pin that more tables / more probes
+    buys recall (the amplification knob actually works)."""
+
+    def test_lsh_recall_pinned_at_two_points(self, spark, sf_dir):
+        from compress_otel_collector_spark.operators.similarity import (
+            cosine_topk,
+            lsh_cosine_topk,
+            topk_recall,
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        exact = cosine_topk(emb, k=5, n_queries=20)
+        got = {}
+        for n_tables in (4, 8):
+            approx = lsh_cosine_topk(emb, k=5, n_queries=20,
+                                     n_planes=4, n_tables=n_tables)
+            got[n_tables] = topk_recall(
+                approx, exact, "lsh").collect()[0]["recall"]
+        assert got == {4: 0.37, 8: 0.59}
+
+    def test_ivf_recall_pinned_at_two_points(self, spark, sf_dir):
+        from compress_otel_collector_spark.operators.similarity import (
+            cosine_topk,
+            ivf_topk,
+            topk_recall,
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        exact = cosine_topk(emb, k=5, n_queries=20)
+        got = {}
+        for n_probe in (4, 8):
+            approx = ivf_topk(emb, k=5, n_queries=20,
+                              n_cells=16, n_probe=n_probe)
+            got[n_probe] = topk_recall(
+                approx, exact, "ivf").collect()[0]["recall"]
+        assert got == {4: 0.49, 8: 0.8}

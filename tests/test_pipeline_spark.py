@@ -217,3 +217,17 @@ def test_resume_with_null_lang_routes(spark, tmp_path):
     nulls = read_routed(spark, out).where(
         F.col("lang").isNull()).agg(F.sum("n_spans")).collect()[0][0]
     assert nulls == 40  # 200/5 null-lang pages, written exactly once
+
+
+def test_pipeline_resume_probe_restores_only_victim(spark, sf_dir):
+    """The driver-ledger resume probe must show: one route deleted, resume
+    restores it exactly, and no other route's blobs change (null-safe
+    anti-join skip), across a real run→delete→rerun cycle."""
+    import __spark_entry__ as entrymod
+
+    row = entrymod.queries()["pipeline_resume"](spark, sf_dir).collect()[0]
+    assert row["routes_after_delete"] == row["routes_total"] - 1
+    assert row["routes_after_resume"] == row["routes_total"]
+    assert row["pages_resumed"] == row["pages_first"]
+    assert row["victim_pages_resumed"] == row["victim_pages_first"] > 0
+    assert row["other_routes_changed"] == 0

@@ -74,3 +74,76 @@ def test_sessionize_stream_state_across_batches(spark, tmp_path):
     rows = {(r["user_id"], r["n_events"])
             for r in spark.read.parquet(out_dir).collect()}
     assert (2, 4) in rows  # minutes 0,30,60,90 closed as one session
+
+
+def test_stream_equals_batch_sessionize_on_events_table(spark, sf_dir,
+                                                        tmp_path):
+    """Stream ≡ batch: draining the real events table through the stateful
+    sessionizer (3 sequential availableNow runs over time-ordered file
+    chunks, state checkpointed across runs) must emit exactly the sessions
+    the batch window derivation closes — every session except each user's
+    last (still open at drain end). Same pattern as windowed_counts'
+    stream≡batch gate, extended to the custom stateful operator."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from compress_otel_collector_spark.sources.tables import load_table
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+
+    # batch side: 1h-gap sessions per user via window functions
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap = ts_us - F.lag(ts_us, 1).over(w)
+    flagged = ev.withColumn("ts_us", ts_us).withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 3600 * 1_000_000), 1).otherwise(0))
+    sess_id = F.sum("new_session").over(
+        w.rowsBetween(Window.unboundedPreceding, 0))
+    sessions = (
+        flagged.withColumn("sid", sess_id)
+        .groupBy("user_id", "sid")
+        .agg(F.min("ts_us").alias("session_start_us"),
+             F.max("ts_us").alias("session_end_us"),
+             F.count("*").alias("n_events"))
+    )
+    last_sid = sessions.groupBy("user_id").agg(F.max("sid").alias("sid"))
+    closed_batch = sessions.join(last_sid, ["user_id", "sid"], "left_anti")
+    want = {(r["user_id"], r["session_start_us"], r["session_end_us"],
+             r["n_events"]) for r in closed_batch.collect()}
+
+    # stream side: 3 time-ordered chunks, one availableNow drain each —
+    # the checkpoint carries open-session state across the runs
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+    import datetime as dt
+    step = (hi - lo) / 3
+    cuts = [lo + step, lo + 2 * step, hi + dt.timedelta(seconds=1)]
+    input_dir = str(tmp_path / "events_in")
+    out_dir = str(tmp_path / "sessions_out")
+    ckpt = str(tmp_path / "ckpt")
+    prev = None
+    for cut in cuts:
+        chunk = ev.where(
+            (F.col("ts") <= cut)
+            & ((F.lit(prev).cast("timestamp").isNull())
+               if prev is None else (F.col("ts") > prev)))
+        chunk.coalesce(1).write.mode("append").parquet(input_dir)
+        q = (
+            sessionize_stream(
+                spark.readStream.schema("user_id long, ts timestamp")
+                .parquet(input_dir),
+                gap_sec=3600)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        prev = cut
+
+    got = {(r["user_id"], r["session_start_us"], r["session_end_us"],
+            r["n_events"])
+           for r in spark.read.parquet(out_dir).collect()}
+    assert got == want
