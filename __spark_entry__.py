@@ -531,6 +531,30 @@ def _q_scalar_subquery(spark, sf_dir):
     )
 
 
+def _q_corpus_curation(spark, sf_dir):
+    """End-to-end training-data curation, composed from the primitive
+    operators: quality gate (≥0.7) + language gate (en) → exact dedup
+    keep-first → per-source corpus budget (docs kept, token budget, mean
+    quality). The shape a 100 TB curation job actually runs — filters are
+    narrow, the only shuffles are the dedup hash-agg and the final
+    per-source aggregate."""
+    from compress_otel_collector_spark.operators import dedup_keep_first
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = quality_score(docs).select("doc_id", "quality", "n_tokens")
+    l = lang_id(docs).select("doc_id", "lang_guess")
+    kept = (
+        docs.join(q, "doc_id").join(l, "doc_id")
+        .where((F.col("quality") >= 0.7) & (F.col("lang_guess") == "en"))
+    )
+    deduped = dedup_keep_first(kept)
+    return deduped.groupBy("source").agg(
+        F.count("*").alias("docs_kept"),
+        F.sum("n_tokens").alias("token_budget"),
+        F.round(F.avg("quality"), 4).alias("avg_quality"),
+    )
+
+
 def _q_dedup_exact(spark, sf_dir):
     return exact_dedup(load_table(spark, sf_dir, "documents"))
 
@@ -763,6 +787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_counts": _q_distinct_counts,
         "scalar_subquery": _q_scalar_subquery,
         # training-data operators
+        "corpus_curation": _q_corpus_curation,
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
@@ -1160,6 +1185,43 @@ def oracle_sql() -> dict[str, str]:
             WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer c2
                                WHERE c2.c_nationkey = c.c_nationkey)
             GROUP BY 1
+        """,
+        "corpus_curation": _TOKS_CTE + """
+            , m AS (SELECT doc_id,
+                        len(t) AS n_tokens,
+                        len(t) * 1.0 AS n,
+                        length(
+                            (SELECT text FROM documents d2
+                             WHERE d2.doc_id = toks.doc_id)) * 1.0
+                            AS n_chars,
+                        len(list_filter(t, x -> x IN
+                            ('the','a','of','and','to'))) * 1.0 AS stops
+                    FROM toks)
+            , q AS (SELECT doc_id,
+                        CAST(n_tokens AS BIGINT) AS n_tokens,
+                        round(
+                            (CASE WHEN n >= 20 AND n <= 5000 THEN 0.5
+                                  WHEN n > 0 THEN 0.2 ELSE 0.0 END)
+                            + least((CASE WHEN n > 0 THEN stops / n
+                                          ELSE 0.0 END) * 2, 0.3)
+                            + (CASE WHEN n > 0
+                                    AND (n_chars - (n - 1)) / n >= 3
+                                    AND (n_chars - (n - 1)) / n <= 10
+                               THEN 0.2 ELSE 0.0 END), 4) AS quality,
+                        (CASE WHEN n > 0 AND round(stops / n, 4) >= 0.05
+                              THEN 'en' ELSE 'other' END) AS lang_guess
+                    FROM m)
+            , kept AS (SELECT d.source, d.text, d.doc_id,
+                              q.quality, q.n_tokens
+                       FROM documents d JOIN q USING (doc_id)
+                       WHERE q.quality >= 0.7 AND q.lang_guess = 'en')
+            , dedup AS (SELECT *, row_number() OVER (
+                            PARTITION BY md5(text) ORDER BY doc_id) AS rn
+                        FROM kept)
+            SELECT source, count(*) AS docs_kept,
+                   CAST(SUM(n_tokens) AS BIGINT) AS token_budget,
+                   round(avg(quality), 4) AS avg_quality
+            FROM dedup WHERE rn = 1 GROUP BY source
         """,
         "dedup_exact": """
             SELECT md5(text) AS text_hash,
