@@ -497,7 +497,7 @@ def encode_span_dataframe(
 
     ln_attrs = [l.get("attributes") for l in flat_links]
     ln_attr_mask = _null_mask(np.array(ln_attrs, dtype=object))
-    pools.build(
+    ln_attr_codes = pools.build(
         _LINKS_ITEM_PATH + " attributes",
         [None if m else v for m, v in zip(ln_attr_mask, ln_attrs)],
     )
@@ -541,8 +541,39 @@ def encode_span_dataframe(
     ts_codes = state_pool_codes[:n]
     ln_state_codes = state_pool_codes[n:]
 
-    # links items are themselves pooled objects
-    ln_item_codes = pools.build(_LINKS_ITEM_PATH, flat_links)
+    # links items are themselves pooled objects. Their dedup key is the
+    # tuple of child codes + scalars (injective: every link field is either
+    # a pool code or the raw int), which skips the structural freeze; the
+    # unique entries are then assembled columnwise from the already-computed
+    # code arrays instead of per-entry scalar recursion — profiling showed
+    # the per-unique-link _encode_payload walk was the single largest
+    # Python cost in the whole encoder (links are ~unique per row).
+    ln_dropped = np.fromiter(
+        ((l.get("droppedAttributesCount") or 0) for l in flat_links),
+        np.int64, len(flat_links))
+    ln_item_codes = pools.build(
+        _LINKS_ITEM_PATH, flat_links,
+        keys=list(zip(ln_attr_codes.tolist(), ln_dropped.tolist(),
+                      ln_span_codes.tolist(), ln_trace_codes.tolist(),
+                      ln_state_codes.tolist())),
+    )
+    if flat_links:
+        # first-occurrence row per pool index, in index order
+        _, sel = np.unique(ln_item_codes, return_index=True)
+        # wire layout per entry = the link object's sorted fields with
+        # their usual null flags (no root flag/pool ref: decode.go:59-67):
+        # attributes, droppedAttributesCount, spanId, traceId, traceState
+        pools.state.pool_entries[_LINKS_ITEM_PATH] = [
+            b"".join(parts) for parts in zip(
+                _nullable_code_cells(ln_attr_codes[sel]),
+                _nullable_varint_cells(ln_dropped[sel],
+                                       _int_null_mask(ln_dropped[sel])),
+                _nullable_code_cells(ln_span_codes[sel]),
+                _code_cells(ln_trace_codes[sel]),
+                _nullable_code_cells(ln_state_codes[sel]),
+            )
+        ]
+        pools.uniques[_LINKS_ITEM_PATH] = []
 
     name_codes = pools.build(_SPANS_PATH + " name", list(col["name"]),
                              scalar=True)

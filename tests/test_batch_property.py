@@ -37,6 +37,17 @@ def span_rows(draw):
                         st.text(max_size=5), _attr_value, max_size=2)),
                     "droppedAttributesCount": draw(st.integers(0, 3)),
                 })
+        links = []
+        if draw(st.booleans()):
+            for _ in range(draw(st.integers(1, 2))):
+                links.append({
+                    "traceId": draw(st.binary(min_size=0, max_size=16)),
+                    "spanId": draw(st.binary(min_size=0, max_size=8)),
+                    "traceState": draw(st.text(max_size=6)),
+                    "attributes": draw(st.dictionaries(
+                        st.text(max_size=5), _attr_value, max_size=2)),
+                    "droppedAttributesCount": draw(st.integers(0, 3)),
+                })
         rows.append({
             "trace_id": draw(st.binary(min_size=0, max_size=16)),
             "span_id": draw(st.binary(min_size=0, max_size=8)),
@@ -51,8 +62,8 @@ def span_rows(draw):
             "dropped_attributes_count": draw(st.integers(0, 2)),
             "events": events,
             "dropped_events_count": draw(st.integers(0, 2)),
-            "links": [],
-            "dropped_links_count": 0,
+            "links": links,
+            "dropped_links_count": draw(st.integers(0, 2)),
             "status_message": draw(st.text(max_size=6)),
             "status_code": draw(st.integers(0, 2)),
             "lang": draw(st.sampled_from(["en", "zh", "de"])),
