@@ -876,8 +876,12 @@ def _minhash_sql(num_hashes: int = 8, bands: int = 2,
         )
         max_bucket = DEFAULT_MAX_BUCKET
     r = num_hashes // bands
+    # component s = min over hex digits [8·(s%4), 8·(s%4)+8) of
+    # md5(shingle || '#' || s//4) — lockstep with minhash_signatures
     sigs = ", ".join(
-        f"min(md5(shingle || '#{s}')) AS sig{s}" for s in range(num_hashes)
+        f"min(substr(md5(shingle || '#{s // 4}'), {(s % 4) * 8 + 1}, 8)) "
+        f"AS sig{s}"
+        for s in range(num_hashes)
     )
     band_selects = " UNION ALL ".join(
         "SELECT doc_id, '{b}=' || {expr} AS bucket FROM sig".format(

@@ -37,12 +37,17 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
 
 
 def word_shingles(df: DataFrame, n: int = 3, text_col: str = "text",
-                  id_col: str = "doc_id") -> DataFrame:
-    """Distinct word n-gram shingles per document (empty texts drop out).
+                  id_col: str = "doc_id", distinct: bool = True) -> DataFrame:
+    """Word n-gram shingles per document (empty texts drop out).
 
     Empty tokens (consecutive/leading/trailing spaces) are dropped before
     shingling — in lockstep with ``textstats._tokens`` and the DuckDB oracle
     CTE (``list_filter(t <> '')``).
+
+    ``distinct=False`` skips the per-(doc, shingle) dedup SHUFFLE — correct
+    whenever the consumer is duplicate-insensitive (MinHash: ``min`` over a
+    multiset equals ``min`` over its set). Jaccard needs the set semantics
+    and keeps the default.
     """
     toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
     shingle = F.transform(
@@ -52,12 +57,12 @@ def word_shingles(df: DataFrame, n: int = 3, text_col: str = "text",
                    for j in range(n)]
         ),
     )
-    return (
+    out = (
         df.where(F.size(toks) >= n)
         .select(F.col(id_col).alias("doc_id"),
                 F.explode(shingle).alias("shingle"))
-        .distinct()
     )
+    return out.distinct() if distinct else out
 
 
 def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.5,
@@ -114,21 +119,36 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.5,
     )
 
 
-def _minhash_sig(seed: int) -> Column:
-    """One MinHash component: lexicographic min of md5(shingle ⊕ seed).
-
-    md5 hex min is a valid min-wise hash and is engine-portable (the DuckDB
-    oracle computes the identical string).
-    """
-    return F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{seed}"))))
-
-
 def minhash_signatures(df: DataFrame, num_hashes: int = 8,
                        n: int = 3) -> DataFrame:
-    """doc_id → minhash signature columns sig0..sig{num_hashes-1}."""
-    sh = word_shingles(df, n=n)
-    return sh.groupBy("doc_id").agg(
-        *[_minhash_sig(s).alias(f"sig{s}") for s in range(num_hashes)]
+    """doc_id → minhash signature columns sig0..sig{num_hashes-1}.
+
+    Each group of 4 hash functions is carved from ONE md5: component
+    ``s`` = lexicographic min over shingles of hex digits
+    ``[8·(s%4), 8·(s%4)+8)`` of ``md5(shingle || '#' || s//4)`` — the
+    classic split-one-strong-hash-into-k-pieces construction (distinct
+    output bits of md5 are independent min-wise hash functions). 8-hex-char
+    (32-bit) pieces keep the min-collision probability ≈ Jaccard with
+    negligible ties. num_hashes md5 evaluations per shingle drop to
+    ⌈num_hashes/4⌉, and the md5s are projected BEFORE the aggregate so
+    they are computed once regardless of codegen CSE.
+
+    Shingles stay non-distinct: ``min`` is duplicate-insensitive, so the
+    signatures are identical and the per-(doc, shingle) dedup shuffle —
+    a full exchange of the exploded shingle stream, the largest cost in
+    the r2 plan — disappears. The only shuffle left before banding is the
+    per-doc aggregate (with map-side partial mins).
+    """
+    sh = word_shingles(df, n=n, distinct=False)
+    n_md5 = (num_hashes + 3) // 4
+    hashed = sh.select(
+        "doc_id",
+        *[F.md5(F.concat(F.col("shingle"), F.lit(f"#{g}"))).alias(f"h{g}")
+          for g in range(n_md5)],
+    )
+    return hashed.groupBy("doc_id").agg(
+        *[F.min(F.substring(F.col(f"h{s // 4}"), (s % 4) * 8 + 1, 8))
+          .alias(f"sig{s}") for s in range(num_hashes)]
     )
 
 

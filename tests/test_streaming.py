@@ -90,8 +90,22 @@ def test_windowed_watermark_aggregation(spark, tmp_path):
         windowed_route_counts,
     )
 
+    import time as _time
+
     input_dir = str(tmp_path / "wpages")
-    synthetic_pages(spark, 500, partitions=4).write.parquet(input_dir)
+    pages = synthetic_pages(spark, 500, partitions=4)
+    # feed the stream in EVENT-TIME ORDER (warc_ts is monotone in doc_id;
+    # chunks written sequentially so mtimes strictly increase and the file
+    # source replays them in order). Out-of-order files are legitimate
+    # watermark semantics — rows later than max-seen − watermark DROP, so
+    # append-mode counts would be partial and the exact-subset assertion
+    # below would flake (observed with tied mtimes).
+    from pyspark.sql import functions as F
+    for i in range(4):
+        (pages.where((F.col("doc_id") >= i * 125)
+                     & (F.col("doc_id") < (i + 1) * 125))
+         .coalesce(1).write.mode("append").parquet(input_dir))
+        _time.sleep(1.1)
     batch = {
         (r["window_start_us"], r["lang"], r["n_pages"])
         for r in windowed_route_counts(
