@@ -55,8 +55,17 @@ class _Reader:
         self.pos = 0
 
     def read_varint(self) -> int:
+        # fast path: single-byte sleb128 (the overwhelming majority of
+        # wire varints — pool indices, small counts, presence-adjacent
+        # ints); sign bit 0x40 two's-complements within 7 bits
+        data, pos = self.data, self.pos
+        if pos < len(data):
+            b = data[pos]
+            if b < 0x80:
+                self.pos = pos + 1
+                return b - 128 if b & 0x40 else b
         try:
-            v, self.pos = decode_sleb128(self.data, self.pos)
+            v, self.pos = decode_sleb128(data, pos)
         except IndexError:
             raise CodecError("truncated varint") from None
         return v
@@ -78,7 +87,12 @@ class _Reader:
             raise CodecError(f"invalid utf-8 in string: {e}") from None
 
     def read_bool(self) -> bool:
-        return self.read_bytes(1)[0] != 0
+        # inline single-byte read (no slice object per flag)
+        data, pos = self.data, self.pos
+        if pos >= len(data):
+            raise CodecError("no data available for bytes")
+        self.pos = pos + 1
+        return data[pos] != 0
 
     def read_double(self) -> float:
         if self.pos + 8 > len(self.data):
@@ -88,8 +102,134 @@ class _Reader:
         return v
 
 
+class _Plan:
+    """Compiled decode plan for one Definition tree.
+
+    ``_inner_decode`` re-resolves the schema per value: type branching,
+    ``sorted_field_names`` walks, path-string concatenation, pool-id
+    resolution — all per field per row. The plan resolves every schema
+    decision ONCE into a closure tree; decoding a value is then just the
+    reads. Semantics are pinned identical to ``_inner_decode`` (which
+    stays as the readable reference) by every roundtrip/golden/corrupt-
+    input test plus the batch≡scalar hypothesis property.
+    """
+
+    __slots__ = ("root", "pool_fns", "definition")
+
+    def __init__(self, definition: Definition):
+        self.definition = definition
+        self.pool_fns: dict[str, object] = {}
+        self.root = _compile(definition, "", use_pool=True)
+
+    def pool_fn(self, pool_id: str):
+        fn = self.pool_fns.get(pool_id)
+        if fn is None:
+            try:
+                pool_def = field_path_to_definition(pool_id,
+                                                    self.definition)
+            except SchemaError as e:
+                # a pool id the schema doesn't know = corrupt data, not a
+                # schema-authoring mistake — surface as a decode error
+                raise CodecError(
+                    f"corrupt pool id on wire: {e}") from None
+            # pool entries: no root null flag / no root pool indirection
+            # (decode.go:59-67); diff fields are schema-forbidden in pools
+            fn = _compile(pool_def, pool_id, use_pool=False)
+            self.pool_fns[pool_id] = fn
+        return fn
+
+
+def _compile(d: Definition, path: str, use_pool: bool):
+    """Closure tree mirroring ``_inner_decode``'s dispatch, resolved once."""
+    t = d.type
+    if t == INTEGER:
+        if d.diff_encode:
+            p = path
+
+            def f(r, status, sp, vp):
+                v = r.read_varint()
+                prev = status.get(p)
+                if prev is not None:
+                    v += prev
+                status[p] = v
+                return v
+        else:
+            def f(r, status, sp, vp):
+                return r.read_varint()
+    elif t == BOOLEAN:
+        def f(r, status, sp, vp):
+            return r.read_bool()
+    elif t == DOUBLE:
+        def f(r, status, sp, vp):
+            return r.read_double()
+    elif d.is_pool_member and use_pool:
+        pid = d.pool_id(path)
+
+        def f(r, status, sp, vp):
+            pool = vp.get(pid)
+            if pool is None:
+                raise CodecError(f"reference to missing pool {pid!r}")
+            idx = r.read_varint()
+            if 0 <= idx < len(pool):
+                return pool[idx]
+            raise CodecError(
+                f"pool {pid!r} index {idx} out of range 0..{len(pool)-1}")
+    elif t == BYTES:
+        def f(r, status, sp, vp):
+            return r.read_bytes(r.read_varint())
+    elif t == STRING:
+        def f(r, status, sp, vp):
+            return r.read_string(r.read_varint())
+    elif t == OBJECT:
+        if d.is_free_map:
+            def f(r, status, sp, vp):
+                return _free_map_decode(sp, r)
+        else:
+            prefix = path + " " if path else ""
+            fields = tuple(
+                (name, _compile(d.fields[name], prefix + name, True))
+                for name in d.sorted_field_names
+            )
+
+            def f(r, status, sp, vp):
+                return {name: fn(r, status, sp, vp)
+                        for name, fn in fields}
+    elif t == ARRAY:
+        item_path = (path + " " if path else "") + "item"
+        item = _compile(d.item, item_path, True)
+
+        def f(r, status, sp, vp):
+            return [item(r, status, sp, vp)
+                    for _ in range(r.read_varint())]
+    else:
+        raise CodecError(f"unknown definition type {t}")
+
+    if d.nullable and use_pool:  # pool entries carry no root null flag
+        inner = f
+
+        def f(r, status, sp, vp):
+            if not r.read_bool():
+                return None
+            return inner(r, status, sp, vp)
+    return f
+
+
+#: compiled plans per Definition (one trace model per process in practice;
+#: the strong ref keeps ids stable)
+_PLANS: dict[int, _Plan] = {}
+
+
+def _plan_for(definition: Definition) -> _Plan:
+    plan = _PLANS.get(id(definition))
+    if plan is None or plan.definition is not definition:
+        plan = _Plan(definition)
+        _PLANS[id(definition)] = plan
+    return plan
+
+
 def decode(blob: bytes, definition: Definition):
     """Decode one framed blob; inverse of :func:`encoder.encode`."""
+    plan = _plan_for(definition)
     r = _Reader(bytes(blob))
 
     string_pool: list[str] = []
@@ -99,24 +239,15 @@ def decode(blob: bytes, definition: Definition):
     value_pools: dict[str, list] = {}
     for _ in range(r.read_varint()):
         pool_id = r.read_string(r.read_varint())
-        try:
-            pool_def = field_path_to_definition(pool_id, definition)
-        except SchemaError as e:
-            # a pool id the schema doesn't know = corrupt data, not a
-            # schema-authoring mistake — surface it as a decode error
-            raise CodecError(f"corrupt pool id on wire: {e}") from None
+        fn = plan.pool_fn(pool_id)
         entries: list = []
         value_pools[pool_id] = entries
         for _ in range(r.read_varint()):
-            entries.append(
-                _inner_decode(pool_def, pool_id, None, string_pool,
-                              value_pools, r, use_pool=False)
-            )
+            entries.append(fn(r, None, string_pool, value_pools))
 
     if r.read_bytes(len(_MAGIC)) != _MAGIC:
         raise CodecError("magic error")
-    return _inner_decode(definition, "", {}, string_pool, value_pools, r,
-                         use_pool=True)
+    return plan.root(r, {}, string_pool, value_pools)
 
 
 def _inner_decode(d: Definition, path: str, status, string_pool, value_pools,
