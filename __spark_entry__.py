@@ -559,6 +559,26 @@ def _q_dedup_exact(spark, sf_dir):
     return exact_dedup(load_table(spark, sf_dir, "documents"))
 
 
+def _q_contamination_check(spark, sf_dir):
+    """Benchmark decontamination: docs 0-4 stand in for the eval set; every
+    other doc sharing any 3-gram with them is flagged with the count of
+    distinct shared shingles (the eval shingle set broadcasts)."""
+    from compress_otel_collector_spark.operators import contamination_check
+
+    docs = load_table(spark, sf_dir, "documents")
+    return contamination_check(
+        docs.where(F.col("doc_id") >= 5),
+        docs.where(F.col("doc_id") < 5),
+    )
+
+
+def _q_repetition_ratio(spark, sf_dir):
+    """Gopher/MassiveText-style intra-doc repetition signal."""
+    from compress_otel_collector_spark.operators import repetition_ratio
+
+    return repetition_ratio(load_table(spark, sf_dir, "documents"))
+
+
 def _q_dedup_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(
         load_table(spark, sf_dir, "documents"), threshold=0.12)
@@ -788,6 +808,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalar_subquery": _q_scalar_subquery,
         # training-data operators
         "corpus_curation": _q_corpus_curation,
+        "contamination_check": _q_contamination_check,
+        "repetition_ratio": _q_repetition_ratio,
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
@@ -1247,6 +1269,26 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = a_id
             JOIN sizes sb ON sb.doc_id = b_id
             WHERE round(common / (sa.n_sh + sb.n_sh - common), 4) >= 0.12
+        """,
+        "contamination_check": _SHINGLES_CTE + """
+            , ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 5)
+            SELECT doc_id, count(*) AS n_shared
+            FROM sh
+            WHERE doc_id >= 5
+              AND shingle IN (SELECT shingle FROM ev)
+            GROUP BY doc_id
+        """,
+        "repetition_ratio": _TOKS_CTE + """
+            , sh_all AS (SELECT doc_id,
+                unnest(list_transform(range(1, len(t)-1),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+                FROM toks WHERE len(t) >= 3)
+            SELECT doc_id,
+                   count(*) AS total_ngrams,
+                   count(DISTINCT shingle) AS distinct_ngrams,
+                   round(1 - count(DISTINCT shingle) * 1.0 / count(*), 4)
+                       AS repetition
+            FROM sh_all GROUP BY doc_id
         """,
         "dedup_minhash_lsh": _minhash_sql(),
         "dedup_simhash": _simhash_sql(),

@@ -1,8 +1,10 @@
 from .dedup import (  # noqa: F401
+    contamination_check,
     dedup_keep_first,
     embedding_dup_pairs,
     exact_dedup,
     lsh_hot_buckets,
+    repetition_ratio,
     minhash_lsh_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,

@@ -248,6 +248,53 @@ def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 8, bands: int = 2,
     )
 
 
+def contamination_check(df: DataFrame, eval_df: DataFrame, n: int = 3,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Benchmark-contamination scan: training docs sharing any word n-gram
+    with an evaluation set.
+
+    The standard decontamination pass for LLM training data: the eval
+    set's distinct shingles are tiny (benchmarks are small by definition),
+    so they BROADCAST; the training side is one narrow shingle pass + a
+    broadcast hash join — no shuffle of the corpus at 100 TB. Returns
+    (doc_id, n_shared) for contaminated docs with the count of distinct
+    shared shingles (the evidence strength).
+    """
+    train_sh = word_shingles(df, n=n, text_col=text_col, id_col=id_col)
+    eval_sh = (
+        word_shingles(eval_df, n=n, text_col=text_col, id_col=id_col)
+        .select("shingle").distinct()
+    )
+    return (
+        train_sh.join(F.broadcast(eval_sh), "shingle", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+
+
+def repetition_ratio(df: DataFrame, n: int = 3, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Intra-document repetition: 1 − distinct/total word n-grams.
+
+    The classic boilerplate/spam signal (MassiveText/Gopher-style repetition
+    filters): near-0 for natural prose, → 1 for looped/template text. One
+    narrow shingle pass + one per-doc aggregate; docs shorter than ``n``
+    tokens drop out (no shingles → undefined)."""
+    sh = word_shingles(df, n=n, text_col=text_col, id_col=id_col,
+                       distinct=False)
+    return (
+        sh.groupBy("doc_id")
+        .agg(F.count("*").alias("total_ngrams"),
+             F.countDistinct("shingle").alias("distinct_ngrams"))
+        .select(
+            "doc_id", "total_ngrams", "distinct_ngrams",
+            F.round(1 - F.col("distinct_ngrams") / F.col("total_ngrams"), 4)
+            .alias("repetition"),
+        )
+    )
+
+
 def simhash(df: DataFrame, bits: int = 64, text_col: str = "text",
             id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash from token md5 nibbles (engine-portable derivation).

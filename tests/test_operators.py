@@ -465,3 +465,35 @@ class TestANNRecall:
             got[n_probe] = topk_recall(
                 approx, exact, "ivf").collect()[0]["recall"]
         assert got == {4: 0.49, 8: 0.8}
+
+
+class TestContaminationAndRepetition:
+    def test_planted_contamination_is_flagged(self, spark):
+        eval_set = spark.createDataFrame(
+            [(0, "the secret benchmark answer is forty two")],
+            "doc_id long, text string")
+        train = spark.createDataFrame(
+            [(10, "totally clean document about cooking pasta"),
+             (11, "leaked: the secret benchmark answer is forty two ok"),
+             (12, "another clean one with many plain words here")],
+            "doc_id long, text string")
+        from compress_otel_collector_spark.operators import (
+            contamination_check,
+        )
+
+        rows = {r["doc_id"]: r["n_shared"]
+                for r in contamination_check(train, eval_set).collect()}
+        assert 11 in rows and rows[11] >= 5  # every shared 3-gram counted
+        assert 10 not in rows and 12 not in rows
+
+    def test_repetition_ratio_extremes(self, spark):
+        df = spark.createDataFrame(
+            [(1, "spam spam spam spam spam spam spam spam"),
+             (2, "eight genuinely distinct words appear exactly once here")],
+            "doc_id long, text string")
+        from compress_otel_collector_spark.operators import repetition_ratio
+
+        rows = {r["doc_id"]: r for r in repetition_ratio(df).collect()}
+        # looped text: 6 trigram slots, 1 distinct -> 1 - 1/6
+        assert rows[1]["repetition"] == 0.8333
+        assert rows[2]["repetition"] == 0.0
