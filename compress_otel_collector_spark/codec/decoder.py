@@ -222,6 +222,8 @@ _PLANS: dict[int, _Plan] = {}
 def _plan_for(definition: Definition) -> _Plan:
     plan = _PLANS.get(id(definition))
     if plan is None or plan.definition is not definition:
+        if len(_PLANS) > 64:  # bound the cache (ad-hoc schema churn)
+            _PLANS.clear()
         plan = _Plan(definition)
         _PLANS[id(definition)] = plan
     return plan

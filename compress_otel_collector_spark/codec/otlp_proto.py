@@ -404,8 +404,13 @@ def _freeze_attrs(attrs):
     """Hashable cache key for a (possibly nested) attribute dict."""
     if not attrs:
         return None
-    return tuple(
-        (k, _freeze_attrs(v) if isinstance(v, dict)
-         else (tuple(v) if isinstance(v, list) else v))
-        for k, v in attrs.items()
-    )
+    return tuple((k, _freeze_value(v)) for k, v in attrs.items())
+
+
+def _freeze_value(v):
+    if isinstance(v, dict):
+        return tuple((k, _freeze_value(x)) for k, x in v.items())
+    if isinstance(v, (list, tuple)):
+        # recurse — a list of dicts would otherwise stay unhashable
+        return tuple(_freeze_value(x) for x in v)
+    return v

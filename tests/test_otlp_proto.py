@@ -221,7 +221,8 @@ def test_columns_marshal_equals_rows_marshal():
                 "name": "fetch",
                 "attributes": (
                     {"phase": "connect",
-                     "probe": {"ttl": 64, "hops": [1, 2]}}
+                     "probe": {"ttl": 64, "hops": [1, 2]},
+                     "steps": [{"n": 1}, {"n": 2}]}  # list-of-dicts too
                     if i % 20 == 0 else {}),
                 "droppedAttributesCount": 0,
             }] for i in range(n)
