@@ -760,6 +760,22 @@ def _q_ann_recall(spark, sf_dir):
     )
 
 
+def _q_embedding_dup_lsh(spark, sf_dir):
+    """Embedding near-dup scale path (LSH candidates + exact verify) as a
+    one-row scorecard. Approximate by construction (LSH recall < 1) — no
+    SQL twin; planted-copy recall is pinned by tests instead."""
+    from compress_otel_collector_spark.operators import (
+        embedding_dup_pairs_lsh,
+    )
+
+    pairs = embedding_dup_pairs_lsh(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.9)
+    return pairs.agg(
+        F.count("*").alias("n_dup_pairs"),
+        F.round(F.coalesce(F.max("cos"), F.lit(0.0)), 4).alias("max_cos"),
+    )
+
+
 def _q_multimodal_features(spark, sf_dir):
     media = synthesize_media(load_table(spark, sf_dir, "documents"))
     feats = extract_features(media)
@@ -828,6 +844,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_similarity": _q_lsh_similarity,
         "ivf_similarity": _q_ivf_similarity,
         "ann_recall": _q_ann_recall,
+        "embedding_dup_lsh": _q_embedding_dup_lsh,
         "pipeline_resume": _q_pipeline_resume,
         "sketch_stats": _q_sketch_stats,
         "multimodal_features": _q_multimodal_features,

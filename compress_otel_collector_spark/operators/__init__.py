@@ -16,6 +16,7 @@ from .dedup import (  # noqa: F401
 from .similarity import (  # noqa: F401
     cosine_pairs,
     cosine_topk,
+    embedding_dup_pairs_lsh,
     ivf_assign,
     ivf_topk,
     ivf_train_centroids,

@@ -183,6 +183,54 @@ def lsh_cosine_topk(embeddings: DataFrame, k: int = 5, n_queries: int = 20,
     )
 
 
+def embedding_dup_pairs_lsh(embeddings: DataFrame, threshold: float = 0.9,
+                            n_planes: int = 8, n_tables: int = 4,
+                            dim: int = 64, vec_col: str = "embedding",
+                            id_col: str = "vec_id") -> DataFrame:
+    """Embedding near-dup pairs at scale: LSH candidates + exact verify.
+
+    The scale path for ``embedding_dup_pairs`` (which is exact but
+    all-pairs): candidate pairs are generated WITHIN each (table, bucket)
+    group — ids only, so the collected array is small — then the exact
+    cosine over the candidate set keeps pairs ≥ threshold. Identical
+    vectors share every bucket, so true duplicates are always candidates;
+    near-dups are found with recall governed by (n_planes, n_tables).
+    At 100 TB: one narrow signature pass, a bucket groupBy over ids, and
+    two hash joins of the (small) candidate set back to vectors — never
+    an all-pairs product.
+    """
+    sigs = lsh_signatures(embeddings, n_planes=n_planes, n_tables=n_tables,
+                          dim=dim, vec_col=vec_col, id_col=id_col)
+    grouped = (
+        sigs.select("vec_id",
+                    F.concat_ws(":", "table", "bucket").alias("bkt"))
+        .groupBy("bkt")
+        .agg(F.sort_array(F.collect_set("vec_id")).alias("ids"))
+    )
+    pair_arr = F.flatten(F.transform(
+        F.col("ids"),
+        lambda a, i: F.transform(
+            F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+            lambda b: F.struct(a.alias("a"), b.alias("b")))))
+    cand = (
+        grouped.select(F.explode(pair_arr).alias("p"))
+        .select(F.col("p.a").alias("a_id"), F.col("p.b").alias("b_id"))
+        .distinct()
+    )
+    e = with_unit_norm(embeddings, vec_col, id_col)
+    a = e.select(F.col("vec_id").alias("a_id"), F.col("vec").alias("va"),
+                 F.col("norm").alias("na"))
+    b = e.select(F.col("vec_id").alias("b_id"), F.col("vec").alias("vb"),
+                 F.col("norm").alias("nb"))
+    return (
+        cand.join(a, "a_id").join(b, "b_id")
+        .select("a_id", "b_id",
+                F.round(_dot(F.col("va"), F.col("vb"))
+                        / (F.col("na") * F.col("nb")), 4).alias("cos"))
+        .where(F.col("cos") >= threshold)
+    )
+
+
 def topk_recall(approx: DataFrame, exact: DataFrame,
                 method: str) -> DataFrame:
     """One-row recall@k of an ANN result against the exact baseline.

@@ -497,3 +497,27 @@ class TestContaminationAndRepetition:
         # looped text: 6 trigram slots, 1 distinct -> 1 - 1/6
         assert rows[1]["repetition"] == 0.8333
         assert rows[2]["repetition"] == 0.0
+
+
+class TestEmbeddingDupLSH:
+    def test_planted_copies_found_and_verified(self, spark, sf_dir):
+        """Exact vector copies share every LSH bucket -> always candidates;
+        the exact-cosine verify keeps them at cos == 1.0; non-dup pairs
+        below threshold never appear."""
+        from compress_otel_collector_spark.operators import (
+            embedding_dup_pairs_lsh,
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        copies = (
+            emb.where(F.col("vec_id") < 10)
+            .withColumn("vec_id", F.col("vec_id") + 100000)
+        )
+        both = emb.unionByName(copies)
+        pairs = embedding_dup_pairs_lsh(both, threshold=0.95).collect()
+        got = {(r["a_id"], r["b_id"]): r["cos"] for r in pairs}
+        for i in range(10):
+            assert got.get((i, i + 100000)) == 1.0, f"missed copy {i}"
+        # random vectors have no 0.95-cosine pairs (verified exhaustively
+        # for this fixture) — everything reported must be a planted copy
+        assert all(b - a == 100000 for a, b in got)
