@@ -159,22 +159,34 @@ def run_headline_queries(spark, sf_dir: str) -> dict[str, float]:
         "codec_roundtrip", "pipeline_sinks",
     ]
     qs = entrymod.queries()
-    out = {}
+
+    def one(name):
+        t0 = time.time()
+        qs[name](spark, sf_dir).write.format("noop") \
+            .mode("overwrite").save()
+        return time.time() - t0
+
+    # One untimed warm pass per query (the one-time Janino/whole-stage-
+    # codegen compile a long-lived engine pays once per session, not per
+    # query), then THREE timed passes interleaved over the whole list,
+    # reported as per-query medians. Interleaving means a host-throttle
+    # burst (multi-second, documented in BENCH/BASELINE.md) lands on a
+    # contiguous stretch of *different* queries once each instead of on
+    # the same query every repeat, and the median rejects it — r3's
+    # best-of-2-in-place recorded a phantom 3× regression exactly this
+    # way. The raw runs ride along in the JSON so any spread is visible.
     for name in names:
-        # best-of-2: the first execution carries the query's one-time
-        # Janino/whole-stage-codegen compile (multi-second for the wide
-        # aggregates) plus any host-throttle burst; a long-lived engine
-        # pays that once per session, not per query, so the steady-state
-        # number is the honest per-query cost. Both runs execute fully.
-        best = None
-        for _ in range(2):
-            t0 = time.time()
-            df = qs[name](spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        out[name] = round(best, 3)
-    return out
+        one(name)
+    runs: dict[str, list[float]] = {name: [] for name in names}
+    for _ in range(3):
+        for name in names:
+            runs[name].append(one(name))
+    import statistics
+
+    out = {name: round(statistics.median(rs), 3)
+           for name, rs in runs.items()}
+    return out, {name: [round(r, 3) for r in rs]
+                 for name, rs in runs.items()}
 
 
 def scaling_runs(n_pages: int, visits: int = 5):
@@ -350,23 +362,30 @@ the only serial work is job scheduling + the final count aggregation.
 def main():
     scaling = "--scaling" in sys.argv
     spark = make_spark(CPUS)
-    queries = run_headline_queries(spark, SF_DIR)
+    queries, query_runs = run_headline_queries(spark, SF_DIR)
+    import statistics
+
     run_pipeline_synth(spark, N_SYNTH, arms=False)  # warm (JIT + workers)
     # throughput headline = the PRODUCTION pipeline (no comparison arms —
     # they are bench-only diagnostics that marshal every span 3 extra ways).
-    # Best-of-2 for the synth/arms pair: the host throttles in multi-second
-    # bursts (documented in BENCH/BASELINE.md), and a single sample can
-    # catch one burst on one side of the pair — min-of-2 interleaved reads
-    # the un-throttled machine for both.
-    pipe_sec, pages, _ = run_pipeline_synth(spark, N_SYNTH, arms=False)
-    arms_sec, _, ratios = run_pipeline_synth(spark, N_SYNTH, arms=True)
-    pipe_sec = min(pipe_sec, run_pipeline_synth(spark, N_SYNTH,
-                                                arms=False)[0])
-    a2, _, r2 = run_pipeline_synth(spark, N_SYNTH, arms=True)
-    if a2 < arms_sec:
-        arms_sec, ratios = a2, r2
+    # Median-of-3, interleaved synth/arms (same discipline as the headline
+    # queries): the host throttles in multi-second bursts (documented in
+    # BENCH/BASELINE.md); interleaving lands a burst on different runs and
+    # the median rejects it without hiding a real regression the way a
+    # bare min would.
+    pipe_runs, arms_runs = [], []
+    pages, ratios = 0, None
+    for _ in range(3):
+        dt, pages, _r = run_pipeline_synth(spark, N_SYNTH, arms=False)
+        pipe_runs.append(dt)
+        a_dt, _, ratios = run_pipeline_synth(spark, N_SYNTH, arms=True)
+        arms_runs.append(a_dt)
+    pipe_sec = statistics.median(pipe_runs)
+    arms_sec = statistics.median(arms_runs)
     queries["pipeline_synth"] = round(pipe_sec, 3)
     queries["pipeline_arms"] = round(arms_sec, 3)
+    query_runs["pipeline_synth"] = [round(r, 3) for r in pipe_runs]
+    query_runs["pipeline_arms"] = [round(r, 3) for r in arms_runs]
     # realistic (telemetry-repeats) shape: the codec's home turf — report
     # compression for both shapes, honestly labeled
     _, _, ratios_real = run_pipeline_synth(spark, N_SYNTH, arms=True,
@@ -379,6 +398,7 @@ def main():
         "value": round(sum(queries.values()), 3),
         "unit": "sec",
         "queries": queries,
+        "query_runs": query_runs,
         "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
         "pages": pages,
         "pages_per_sec": round(pages / pipe_sec, 1),

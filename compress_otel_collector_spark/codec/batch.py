@@ -154,8 +154,9 @@ def _factorize_exact(values) -> tuple[np.ndarray, list]:
     ``''`` with ``'\\x00'``), which would alias distinct pool entries and
     corrupt the wire. Encoding str values to utf-8 bytes routes them
     through the object hashtable, which hashes full contents. Returned
-    uniques keep the encoded (bytes) form — first-appearance order, None
-    mapped to code -1.
+    uniques are the ORIGINAL value objects (str, not the bytes encoding)
+    in first-appearance order — pool keys must stay raw values; None maps
+    to code -1.
     """
     vals = np.asarray(values, dtype=object)
     enc = np.array(

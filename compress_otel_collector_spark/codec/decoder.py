@@ -59,16 +59,41 @@ class _Reader:
         # wire varints — pool indices, small counts, presence-adjacent
         # ints); sign bit 0x40 two's-complements within 7 bits
         data, pos = self.data, self.pos
-        if pos < len(data):
-            b = data[pos]
-            if b < 0x80:
-                self.pos = pos + 1
-                return b - 128 if b & 0x40 else b
         try:
-            v, self.pos = decode_sleb128(data, pos)
+            b = data[pos]
         except IndexError:
             raise CodecError("truncated varint") from None
-        return v
+        if b < 0x80:
+            self.pos = pos + 1
+            return b - 128 if b & 0x40 else b
+        # multibyte: varint.decode_sleb128 inlined (it stays as the
+        # readable reference; timestamps/n_chars make this ~40% of decode
+        # time, and the call + tuple return were a third of that).
+        # Equality with the reference impl is pinned by the hypothesis
+        # roundtrip property in test_varint.
+        result = b & 0x7F
+        shift = 7
+        pos += 1
+        try:
+            while shift < 56:
+                b = data[pos]
+                pos += 1
+                result |= (b & 0x7F) << shift
+                if not (b & 0x80):
+                    self.pos = pos
+                    if b & 0x40:  # sign extension (varint.py docstring)
+                        result -= 1 << (shift + 7)
+                    return result
+                shift += 7
+            b = data[pos]  # 9th raw byte (reader.go:52-59)
+            pos += 1
+        except IndexError:
+            raise CodecError("truncated varint") from None
+        result |= b << 56
+        if result >= 1 << 63:
+            result -= 1 << 64
+        self.pos = pos
+        return result
 
     def read_bytes(self, n: int) -> bytes:
         if n < 0 or self.pos + n > len(self.data):
@@ -208,7 +233,13 @@ def _compile(d: Definition, path: str, use_pool: bool):
         inner = f
 
         def f(r, status, sp, vp):
-            if not r.read_bool():
+            # read_bool inlined: one method call per nullable field adds
+            # up (≈1 flag per span field at 10⁶ spans/blob-partition)
+            data, pos = r.data, r.pos
+            if pos >= len(data):
+                raise CodecError("no data available for bytes")
+            r.pos = pos + 1
+            if data[pos] == 0:
                 return None
             return inner(r, status, sp, vp)
     return f

@@ -239,7 +239,6 @@ def spans_rows_to_proto(rows, resource_attrs: dict, scope: dict,
                         schema_url: str = "") -> bytes:
     """TracesData for one resource group from span dict rows (the generic
     path; the encode stage's hot arm uses :func:`spans_columns_to_proto`)."""
-    res_payload = _attributes(1, resource_attrs)
     spans_b = b"".join(_len_delim(2, _span(sp)) for sp in rows)
     return _wrap_resource_group(spans_b, resource_attrs, scope, schema_url)
 
@@ -310,16 +309,24 @@ def spans_columns_to_proto(
         kind_cache.setdefault(int(v), _f_varint(6, int(v))) for v in kind
     ]
     # timestamps: one (n, 18) matrix [tag7 | 8 LE bytes | tag8 | 8 LE bytes]
+    start_arr = np.asarray(start_ns, dtype=np.int64)
+    end_arr = np.asarray(end_ns, dtype=np.int64)
     tmat = np.empty((n, 18), dtype=np.uint8)
     tmat[:, 0] = _tag(7, 1)[0]
-    tmat[:, 1:9] = (
-        np.asarray(start_ns, dtype=np.int64).astype("<u8")
-        .view(np.uint8).reshape(n, 8))
+    tmat[:, 1:9] = start_arr.astype("<u8").view(np.uint8).reshape(n, 8)
     tmat[:, 9] = _tag(8, 1)[0]
-    tmat[:, 10:18] = (
-        np.asarray(end_ns, dtype=np.int64).astype("<u8")
-        .view(np.uint8).reshape(n, 8))
+    tmat[:, 10:18] = end_arr.astype("<u8").view(np.uint8).reshape(n, 8)
     tbytes = tmat.tobytes()
+    if (start_arr == 0).any() or (end_arr == 0).any():
+        # proto3 omits zero fixed64s (_f_fixed64) — drop the zero half(s)
+        # of the 18-byte block so the wire matches spans_rows_to_proto
+        time_pieces = [
+            (tbytes[18 * i:18 * i + 9] if start_arr[i] else b"")
+            + (tbytes[18 * i + 9:18 * i + 18] if end_arr[i] else b"")
+            for i in range(n)
+        ]
+    else:
+        time_pieces = [tbytes[18 * i:18 * i + 18] for i in range(n)]
     # attributes: unique url per row (tight inline build), constants once,
     # small-int n_chars cached
     url_key = _f_str(1, "http.url")
@@ -386,16 +393,17 @@ def spans_columns_to_proto(
     t_span = _tag(2, 2)
     spans_b = b"".join(
         t_span + _v(
-            len(idp) + len(tsp) + len(nmp) + len(kp) + 18 + len(ap)
+            len(idp) + len(tsp) + len(nmp) + len(kp) + len(tp) + len(ap)
             + len(evp) + len(lkp) + len(dlp) + len(stp))
-        + idp + tsp + nmp + kp + tbytes[18 * i:18 * i + 18] + ap
+        + idp + tsp + nmp + kp + tp + ap
         + evp + lkp + dlp + stp
-        for i, (idp, tsp, nmp, kp, ap, evp, lkp, dlp, stp) in enumerate(zip(
-            id_pieces, ts_pieces, name_pieces, kind_pieces, attr_pieces,
+        for idp, tsp, nmp, kp, tp, ap, evp, lkp, dlp, stp in zip(
+            id_pieces, ts_pieces, name_pieces, kind_pieces, time_pieces,
+            attr_pieces,
             (_events_piece(e) for e in events),
             (_links_piece(l) for l in links),
             dl_pieces, status_pieces,
-        ))
+        )
     )
     return _wrap_resource_group(spans_b, resource_attrs, scope, schema_url)
 
@@ -409,8 +417,12 @@ def _freeze_attrs(attrs):
 
 def _freeze_value(v):
     if isinstance(v, dict):
-        return tuple((k, _freeze_value(x)) for k, x in v.items())
+        return ("map", tuple((k, _freeze_value(x)) for k, x in v.items()))
     if isinstance(v, (list, tuple)):
         # recurse — a list of dicts would otherwise stay unhashable
-        return tuple(_freeze_value(x) for x in v)
-    return v
+        return ("arr", tuple(_freeze_value(x) for x in v))
+    # tag scalars with the concrete type: True/1/1.0 hash and compare
+    # equal but marshal to different AnyValue oneofs, so an untagged key
+    # would hand {'f': 1} the cached suffix of {'f': True} (same bug
+    # class _kv_cached fixes with its tname key).
+    return (type(v).__name__, v)

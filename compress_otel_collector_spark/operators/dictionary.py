@@ -19,15 +19,70 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def global_dictionary(df: DataFrame, value_col: str,
-                      order_col: str) -> DataFrame:
-    """(value, index) rows: index = rank of first occurrence by order_col."""
+def global_dictionary(df: DataFrame, value_col: str, order_col: str,
+                      n_buckets: int | None = None) -> DataFrame:
+    """(value, index) rows: index = rank of first occurrence by order_col.
+
+    Two-phase index build (r3 verdict #4): a bare ``Window.orderBy`` would
+    funnel every distinct value through ONE task's sort. Instead:
+
+    1. build-time (driver, model-parameter sized — same license as the IVF
+       centroid collects): quantile boundaries of ``first_seen`` and the
+       per-bucket counts are computed and baked into the plan as LITERALS,
+       so every recomputation of the returned frame buckets identically
+       (a sampled ``repartitionByRange`` would re-draw boundaries if the
+       exchange isn't reused, silently corrupting the offsets);
+    2. plan: each bucket computes a local ``row_number`` in parallel
+       (window partitioned by bucket) and the global index adds the
+       bucket's precomputed offset.
+
+    Output is identical for any boundary placement: (first_seen, value) is
+    unique per row, so offset + local rank IS the global rank by
+    (first_seen, value). ``order_col`` must be numeric (quantile
+    boundaries); ties/skew in ``first_seen`` degrade parallelism, never
+    correctness.
+    """
     firsts = df.groupBy(F.col(value_col).alias("value")).agg(
         F.min(order_col).alias("first_seen"))
-    w = Window.orderBy("first_seen", "value")
-    return firsts.select(
-        "value",
-        (F.row_number().over(w) - 1).cast("long").alias("index"),
+    if n_buckets is None:
+        n_buckets = df.sparkSession.sparkContext.defaultParallelism
+    bnds: list = []
+    if n_buckets > 1:
+        qs = [i / n_buckets for i in range(1, n_buckets)]
+        row = firsts.select(
+            F.percentile_approx("first_seen", qs, 10000).alias("b")).first()
+        seen: set = set()
+        for b in (row["b"] or []):
+            if b is not None and b not in seen:
+                seen.add(b)
+                bnds.append(b)
+    bucket = F.lit(0)
+    for b in bnds:
+        bucket = bucket + F.when(F.col("first_seen") > F.lit(b),
+                                 1).otherwise(0)
+    bucketed = firsts.withColumn("_b", bucket.cast("int"))
+    counts = {
+        r["_b"]: r["_c"]
+        for r in bucketed.groupBy("_b").agg(
+            F.count("*").alias("_c")).collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for i in sorted(counts):
+        offsets[i] = acc
+        acc += counts[i]
+    if offsets:
+        off_expr = F.element_at(
+            F.create_map(*[F.lit(x) for kv in sorted(offsets.items())
+                           for x in kv]),
+            F.col("_b"))
+    else:  # empty input
+        off_expr = F.lit(0)
+    w = Window.partitionBy("_b").orderBy("first_seen", "value")
+    return (
+        bucketed.withColumn("_rn", F.row_number().over(w))
+        .select("value",
+                (off_expr + F.col("_rn") - 1).cast("long").alias("index"))
     )
 
 

@@ -98,8 +98,12 @@ def extract_features(media: DataFrame,
             for payload, kind in zip(pdf["payload"], pdf["kind"]):
                 raw = bytes(payload)
                 if kind == "video":
+                    # frame salt is ASCII (not bytes([i])) so the DuckDB
+                    # oracle twin can reproduce it: sha256 there is
+                    # VARCHAR-only and rejects NUL/control bytes
                     fs = [
-                        _decode_payload_stub(raw + bytes([i]), kind)
+                        _decode_payload_stub(
+                            raw + str(i).encode("ascii"), kind)
                         for i in range(frames_per_video)
                     ]
                     feats.append(np.mean(fs, axis=0).astype(np.float32))

@@ -241,7 +241,10 @@ def topk_recall(approx: DataFrame, exact: DataFrame,
     an exact, pinnable number — the honest scorecard for the approximate
     indexes (r2 verdict #8: recall was only visible inside tests).
     """
-    a = approx.select("q_id", "n_id").withColumn("_hit", F.lit(1))
+    # distinct: duplicate (q_id, n_id) rows in the approx input (e.g. the
+    # same pair surviving in two LSH tables) would fan out the left join
+    # and inflate both exact_pairs and hit_pairs
+    a = approx.select("q_id", "n_id").distinct().withColumn("_hit", F.lit(1))
     e = exact.select("q_id", "n_id")
     return (
         e.join(a, ["q_id", "n_id"], "left")

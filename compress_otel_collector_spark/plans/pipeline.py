@@ -116,6 +116,22 @@ def span_stage(df: DataFrame) -> DataFrame:
     return df.select(*keep, *span_columns("doc_id"))
 
 
+def _hex_column(vals, width: int):
+    """Vectorized bytes→hex for a column of fixed-width ids: one
+    ``hexlify`` over the concatenated buffer + a numpy fixed-width view,
+    instead of a Python ``.hex()`` call per row (r3 verdict #6 — the JSON
+    arm's per-row hexing)."""
+    import binascii
+
+    import numpy as np
+
+    if len(vals) == 0:
+        return []
+    return np.frombuffer(
+        binascii.hexlify(b"".join(vals)), dtype=f"S{width * 2}"
+    ).astype(f"U{width * 2}")
+
+
 def _span_events_cells(doc_ids, starts, events_every: int):
     """Vectorized events column: object array, one 1-event list per selected
     row (doc_id % events_every == 0), None elsewhere. Selection, times and
@@ -269,8 +285,10 @@ def _encode_batches(arms: bool, events_every: int = 10,
                     base = (spans.drop(columns=["attributes"])
                             if "attributes" in spans.columns else spans)
                     json_view = base.assign(
-                        trace_id=[t.hex() for t in spans["trace_id"]],
-                        span_id=[s.hex() for s in spans["span_id"]],
+                        trace_id=_hex_column(
+                            spans["trace_id"].to_numpy(), 16),
+                        span_id=_hex_column(
+                            spans["span_id"].to_numpy(), 8),
                         parent_span_id="",  # always empty bytes -> ""
                         links=[
                             None if lk is None else [
@@ -472,61 +490,52 @@ def roundtrip_check(encoded: DataFrame) -> DataFrame:
                             pid = sp.get("parentSpanId")
                             ltid = ln.get("traceId")
                             lsid = ln.get("spanId")
-                            rows.append({
-                                "url": attrs.get("http.url"),
-                                "lang": attrs.get("lang"),
-                                "trace_id_hex":
-                                    tid.hex() if tid else None,
-                                "span_id_hex":
-                                    sid.hex() if sid else None,
-                                "parent_span_id_hex":
-                                    pid.hex() if pid else None,
-                                "trace_state": sp.get("traceState"),
-                                "name": sp.get("name"),
-                                "kind": sp.get("kind"),
-                                "start_ns": sp.get("startTimeUnixNano"),
-                                "end_ns": sp.get("endTimeUnixNano"),
-                                "status_message":
-                                    sp["status"].get("message"),
-                                "status_code": sp["status"].get("code"),
-                                "dropped_attributes_count":
-                                    sp.get("droppedAttributesCount"),
-                                "dropped_events_count":
-                                    sp.get("droppedEventsCount"),
-                                "dropped_links_count":
-                                    sp.get("droppedLinksCount"),
-                                "http_status":
-                                    attrs.get("http.status_code"),
-                                "n_chars": attrs.get("n_chars"),
-                                "n_events": len(events),
-                                "event_name": ev.get("name"),
-                                "event_time_ns": ev.get("timeUnixNano"),
-                                "event_phase": ev_attrs.get("phase"),
-                                "event_probe_ttl": probe.get("ttl"),
-                                "event_probe_hops":
-                                    None if hops is None else
-                                    ",".join(str(x) for x in hops),
-                                "n_links": len(links),
-                                "link_trace_hex":
-                                    ltid.hex() if ltid else None,
-                                "link_span_hex":
-                                    lsid.hex() if lsid else None,
-                                "link_rel": ln_attrs.get("rel"),
-                                "service_name":
-                                    res_attrs.get("service.name"),
-                                "host_bucket_attr":
-                                    res_attrs.get("host.bucket"),
-                                "scope_name": scope.get("name"),
-                                "scope_version": scope.get("version"),
-                            })
+                            # tuple in _ROUNDTRIP_SCHEMA field order —
+                            # transposed columnwise below with one
+                            # C-level zip instead of a dict per span +
+                            # 31 per-column list comprehensions
+                            rows.append((
+                                attrs.get("http.url"),
+                                attrs.get("lang"),
+                                tid.hex() if tid else None,
+                                sid.hex() if sid else None,
+                                pid.hex() if pid else None,
+                                sp.get("traceState"),
+                                sp.get("name"),
+                                sp.get("kind"),
+                                sp.get("startTimeUnixNano"),
+                                sp.get("endTimeUnixNano"),
+                                sp["status"].get("message"),
+                                sp["status"].get("code"),
+                                sp.get("droppedAttributesCount"),
+                                sp.get("droppedEventsCount"),
+                                sp.get("droppedLinksCount"),
+                                attrs.get("http.status_code"),
+                                attrs.get("n_chars"),
+                                len(events),
+                                ev.get("name"),
+                                ev.get("timeUnixNano"),
+                                ev_attrs.get("phase"),
+                                probe.get("ttl"),
+                                None if hops is None else
+                                ",".join(str(x) for x in hops),
+                                len(links),
+                                ltid.hex() if ltid else None,
+                                lsid.hex() if lsid else None,
+                                ln_attrs.get("rel"),
+                                res_attrs.get("service.name"),
+                                res_attrs.get("host.bucket"),
+                                scope.get("name"),
+                                scope.get("version"),
+                            ))
             if rows:
                 # column-wise with dtype=object: pd.DataFrame(rows) would
                 # turn an int+None column into float64, rounding ns
                 # timestamps at 256 ns (ints > 2^53)
+                cols = tuple(zip(*rows))
                 yield pd.DataFrame({
-                    f.name: pd.Series([r[f.name] for r in rows],
-                                      dtype=object)
-                    for f in _ROUNDTRIP_SCHEMA.fields
+                    f.name: pd.Series(cols[i], dtype=object)
+                    for i, f in enumerate(_ROUNDTRIP_SCHEMA.fields)
                 })
 
     return encoded.mapInPandas(fn, schema=_ROUNDTRIP_SCHEMA)
@@ -590,22 +599,51 @@ def expected_roundtrip(spans: DataFrame, events_every: int = 10,
     )
 
 
-def roundtrip_counts(decoded: DataFrame, expected: DataFrame) -> DataFrame:
+def roundtrip_counts(decoded: DataFrame, expected: DataFrame,
+                     exact: bool = False) -> DataFrame:
     """(decoded_spans, missing, extra) in ONE Spark job.
 
     Tag-union multiset difference: expected rows weigh +1, decoded rows -1;
-    grouping on all columns and summing gives per-row-value imbalance, so
+    grouping on a per-row key and summing gives per-row-value imbalance, so
     missing = Σ max(d,0), extra = Σ max(-d,0), and the decoded count rides
     along in the same aggregate. Replaces the r1 shape (3 actions over an
     unpersisted encode lineage → the pipeline re-encoded 3×) — at 100 TB an
     unpersisted multi-action verification stage re-encodes the planet twice.
+
+    Default key: a 128-bit row fingerprint (two independent ``xxhash64``
+    streams over every column, each value prefixed with its null flag so a
+    value sliding between adjacent columns changes the hash — Spark's hash
+    functions skip nulls, which would otherwise make ``(x, null)`` collide
+    with ``(null, x)``). Shuffling two longs instead of ~31 wide columns
+    cut the 1M-page gate's compare stage from ~26 s to a few seconds, and
+    at 100 TB a full-row verification shuffle is a non-starter. A false
+    match needs a 128-bit collision between a specific wrong row and a
+    specific expected row (~2⁻¹²⁸·pairs ≈ 10⁻²⁶ at 10¹² rows).
+    ``exact=True`` keeps the full-column groupBy (the byte-for-byte form;
+    tests pin that both modes agree on clean and corrupted inputs).
     """
     cols = decoded.columns
+    if exact:
+        key_cols = cols
+
+        def tag(df):
+            return df.select(*cols)
+    else:
+        hash_inputs = [part for c in cols
+                       for part in (F.isnull(c).cast("int"), F.col(c))]
+        key_cols = ["_h1", "_h2"]
+
+        def tag(df):
+            return df.select(
+                F.xxhash64(*hash_inputs).alias("_h1"),
+                F.xxhash64(F.lit(-7), *hash_inputs).alias("_h2"),
+            )
+
     tagged = (
-        expected.select(*cols).withColumn("_w", F.lit(1))
-        .unionByName(decoded.select(*cols).withColumn("_w", F.lit(-1)))
+        tag(expected).withColumn("_w", F.lit(1))
+        .unionByName(tag(decoded).withColumn("_w", F.lit(-1)))
     )
-    per_value = tagged.groupBy(*cols).agg(
+    per_value = tagged.groupBy(*key_cols).agg(
         F.sum("_w").alias("_d"),
         F.sum(F.when(F.col("_w") < 0, 1).otherwise(0)).alias("_dec"),
     )

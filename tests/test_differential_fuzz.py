@@ -87,5 +87,11 @@ def test_random_corpus_matches_oracle(name, spark, fuzz_dir):
     want = normalize(con.sql(entrymod.oracle_sql()[name]).df())
     assert list(got.columns) == list(want.columns), name
     assert len(got) == len(want), f"{name}: {len(got)} vs {len(want)}"
+    # float columns get a 1e-9 relative tolerance (r3 verdict #9): the two
+    # engines sum doubles in different orders, so a regenerated corpus
+    # could legitimately differ in the last ulps of a sum/avg — that is
+    # associativity, not a semantics bug. Integers/strings/bools stay
+    # byte-exact (check_exact only relaxes float dtypes).
     pd.testing.assert_frame_equal(got, want, check_dtype=False,
-                                  check_exact=True, obj=name)
+                                  check_exact=False, rtol=1e-9, atol=1e-12,
+                                  obj=name)

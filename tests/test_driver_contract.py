@@ -59,3 +59,26 @@ def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0
     assert "pages" in df.columns
+
+
+def test_windowed_counts_timezone_free(spark, sf_dir):
+    """warc_hour and windowed_counts must not depend on the session
+    timezone (r3 verdict #4: the UTC pin moved out of the queries — the
+    driver's session may carry any tz, so the plans themselves must be
+    tz-free: NTZ epoch via timestampdiff, instants via timestamp_seconds,
+    hour windows bucketed in raw epoch micros)."""
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        names = ("warc_hour", "windowed_counts", "sessionize", "asof_join",
+                 "hypertable_rollup", "range_join")
+        utc = {
+            name: normalize(QUERIES[name](spark, sf_dir).toPandas())
+            for name in names
+        }
+        spark.conf.set("spark.sql.session.timeZone", "Pacific/Kiritimati")
+        for name, want in utc.items():
+            got = normalize(QUERIES[name](spark, sf_dir).toPandas())
+            pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                          check_exact=True, obj=name)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)

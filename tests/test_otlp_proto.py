@@ -288,3 +288,88 @@ def test_columns_marshal_equals_rows_marshal():
         want = spans_rows_to_proto(rows, resource_attrs=resource,
                                    scope=DEFAULT_SCOPE)
         assert got == want
+
+
+def test_columns_marshal_edge_values_equal_rows_marshal():
+    """Edge values the vectorized arm used to get wrong or could get wrong:
+
+    - an event with {'f': 1} after one with {'f': True} (r3 advisor: the
+      ev_suffix_cache key froze values without their concrete type, so
+      True/1/1.0 shared a cache slot and the int event got the bool's
+      cached AnyValue oneof)
+    - zero start/end timestamps (proto3 omits zero fixed64s; the fixed
+      18-byte block used to be emitted unconditionally)
+    - an empty-string url (both paths must agree on whether the KeyValue
+      is emitted — they do: _attributes always emits the oneof)
+    """
+    import numpy as np
+
+    from compress_otel_collector_spark.codec.batch import DEFAULT_SCOPE
+    from compress_otel_collector_spark.codec.otlp_proto import (
+        spans_columns_to_proto,
+        spans_rows_to_proto,
+    )
+
+    n = 6
+    events = [
+        [{"timeUnixNano": 1, "name": "e", "attributes": {"f": True},
+          "droppedAttributesCount": 0}],
+        [{"timeUnixNano": 2, "name": "e", "attributes": {"f": 1},
+          "droppedAttributesCount": 0}],
+        [{"timeUnixNano": 3, "name": "e", "attributes": {"f": 1.0},
+          "droppedAttributesCount": 0}],
+        [{"timeUnixNano": 4, "name": "e",
+          "attributes": {"f": [True, 1, {"g": 0}]},
+          "droppedAttributesCount": 0}],
+        [{"timeUnixNano": 5, "name": "e",
+          "attributes": {"f": [1, True, {"g": False}]},
+          "droppedAttributesCount": 0}],
+        None,
+    ]
+    start = [0, 10, 0, 10, 10, 10]
+    end = [0, 0, 20, 20, 20, 20]
+    urls = ["", "https://a.example/x", "", "https://a.example/x",
+            "https://a.example/x", ""]
+    got = spans_columns_to_proto(
+        np.array([bytes([i]) * 16 for i in range(n)], dtype=object),
+        np.array([bytes([i]) * 8 for i in range(n)], dtype=object),
+        np.array([""] * n, dtype=object),
+        np.array(["GET /"] * n, dtype=object),
+        np.array([2] * n),
+        np.array(start, dtype=np.int64),
+        np.array(end, dtype=np.int64),
+        np.array(urls, dtype=object),
+        np.array([5] * n),
+        np.array(events, dtype=object),
+        np.array([None] * n, dtype=object),
+        np.array([0] * n),
+        np.array([""] * n, dtype=object),
+        np.array([0] * n),
+        const_attrs={"http.status_code": 200},
+        resource_attrs={"service.name": "s"},
+        scope=DEFAULT_SCOPE,
+    )
+    rows = [
+        {
+            "traceId": bytes([i]) * 16,
+            "spanId": bytes([i]) * 8,
+            "parentSpanId": b"",
+            "traceState": "",
+            "name": "GET /",
+            "kind": 2,
+            "startTimeUnixNano": start[i],
+            "endTimeUnixNano": end[i],
+            "attributes": {"http.url": urls[i], "http.status_code": 200,
+                           "n_chars": 5},
+            "droppedAttributesCount": 0,
+            "events": events[i] or [],
+            "droppedEventsCount": 0,
+            "links": [],
+            "droppedLinksCount": 0,
+            "status": {"message": "", "code": 0},
+        }
+        for i in range(n)
+    ]
+    want = spans_rows_to_proto(rows, resource_attrs={"service.name": "s"},
+                               scope=DEFAULT_SCOPE)
+    assert got == want

@@ -128,6 +128,33 @@ class TestEncodeRoute:
         row = roundtrip_counts(decoded, wrong).collect()[0]
         assert row["missing"] > 0 and row["extra"] > 0
 
+    def test_roundtrip_hash_mode_agrees_with_exact(self, spark, pages,
+                                                   encoded):
+        """The 128-bit-fingerprint compare (the scale path) must report the
+        same (decoded, missing, extra) as the full-column groupBy on both a
+        clean roundtrip and a corrupted one — including a null-vs-value
+        column slide, the case naive xxhash64 over raw columns would miss
+        (Spark hash functions skip nulls)."""
+        from compress_otel_collector_spark.plans.pipeline import (
+            expected_roundtrip,
+            roundtrip_counts,
+        )
+
+        decoded = roundtrip_check(encoded)
+        spans = span_stage(enrich_stage(parse_stage(pages), spark))
+        for expected in (
+            expected_roundtrip(spans),
+            expected_roundtrip(spans).withColumn(
+                "status_code", F.col("status_code") + 1),
+            # slide: value moves from one column into an adjacent null one
+            expected_roundtrip(spans)
+            .withColumn("event_phase", F.col("event_name"))
+            .withColumn("event_name", F.lit(None).cast("string")),
+        ):
+            h = roundtrip_counts(decoded, expected).collect()[0]
+            e = roundtrip_counts(decoded, expected, exact=True).collect()[0]
+            assert h.asDict() == e.asDict()
+
     def test_blob_is_decodable_magic(self, encoded):
         import pyarrow as pa
 

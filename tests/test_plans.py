@@ -101,3 +101,44 @@ def test_dedup_pair_generation_is_single_lineage(spark, sf_dir):
     ):
         plan = plan_of(op())
         assert plan.count("Scan parquet") <= max_scans, plan[:2000]
+
+
+def test_global_dictionary_two_phase_no_global_sort(spark):
+    """The dictionary index build must not funnel all distinct values
+    through one task (r3 verdict #4): the row_number window is partitioned
+    by the precomputed range bucket, and the index still equals the global
+    first-seen rank."""
+    from compress_otel_collector_spark.operators.dictionary import (
+        global_dictionary,
+    )
+
+    n = 10_000
+    df = (
+        spark.range(n).toDF("doc_id")
+        .select(
+            F.col("doc_id"),
+            F.concat(F.lit("v"), (F.col("doc_id") * 37 % 4096)
+                     .cast("string")).alias("val"),
+        )
+        .repartition(8)
+    )
+    d = global_dictionary(df, "val", "doc_id", n_buckets=8)
+    plan = plan_of(d)
+    # the big-side row_number window is partitioned by the bucket column —
+    # a bare global-sort window would show windowspecdefinition without a
+    # leading partition column (and a SinglePartition exchange feeding it)
+    win_lines = [l for l in plan.splitlines()
+                 if "windowspecdefinition" in l and "row_number" in l]
+    assert win_lines and all("_b" in l for l in win_lines), plan[:3000]
+    # index == global rank of first occurrence by (min doc_id, value)
+    rows = {r["value"]: r["index"] for r in d.collect()}
+    firsts = {}
+    for i in range(n):
+        v = f"v{i * 37 % 4096}"
+        firsts.setdefault(v, i)
+    want = {
+        v: rank
+        for rank, (v, _) in enumerate(
+            sorted(firsts.items(), key=lambda kv: (kv[1], kv[0])))
+    }
+    assert rows == want
