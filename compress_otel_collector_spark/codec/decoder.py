@@ -139,12 +139,17 @@ class _Plan:
     input test plus the batch≡scalar hypothesis property.
     """
 
-    __slots__ = ("root", "pool_fns", "definition")
+    __slots__ = ("root", "pool_fns", "definition", "token_walker")
 
     def __init__(self, definition: Definition):
+        from .tokdecode import compile_walker
+
         self.definition = definition
         self.pool_fns: dict[str, object] = {}
         self.root = _compile(definition, "", use_pool=True)
+        # vectorized data-region fast path (None when the schema has
+        # inline non-token leaves — see tokdecode.token_safe)
+        self.token_walker = compile_walker(definition)
 
     def pool_fn(self, pool_id: str):
         fn = self.pool_fns.get(pool_id)
@@ -280,6 +285,20 @@ def decode(blob: bytes, definition: Definition):
 
     if r.read_bytes(len(_MAGIC)) != _MAGIC:
         raise CodecError("magic error")
+
+    if plan.token_walker is not None:
+        from .tokdecode import tokenize
+
+        toks = tokenize(r.data, r.pos)
+        if toks is not None:
+            try:
+                return plan.token_walker(toks, value_pools)
+            except IndexError:
+                # token stream exhausted mid-value — same truncation the
+                # scalar reader reports as CodecError
+                raise CodecError("truncated data region") from None
+        # fall through: a >9-byte continuation run (bit-63 diff delta or
+        # corruption) — the scalar path is authoritative
     return plan.root(r, {}, string_pool, value_pools)
 
 

@@ -1,0 +1,233 @@
+"""Vectorized token-stream decode fast path (codec/tokdecode.py).
+
+The fast path must be byte-for-byte semantics-identical to the scalar
+reader: stage 1 (tokenize) against decode_sleb128, stage 2 (generated
+walker) against the closure-tree plan, plus the fallback contract for the
+one wire shape the boundary scan cannot represent (capped 9-byte varints
+whose raw 9th byte carries bit 7 — reader.go:52-59).
+"""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from compress_otel_collector_spark.codec import encode, trace_model
+from compress_otel_collector_spark.codec import decoder as decoder_mod
+from compress_otel_collector_spark.codec.decoder import decode
+from compress_otel_collector_spark.codec.tokdecode import (
+    compile_walker,
+    token_safe,
+    tokenize,
+)
+from compress_otel_collector_spark.codec.values import CodecError
+from compress_otel_collector_spark.codec.varint import (
+    decode_sleb128,
+    encode_sleb128,
+)
+
+
+def _scalar_stream(data: bytes) -> list[int]:
+    out, pos = [], 0
+    while pos < len(data):
+        v, pos = decode_sleb128(data, pos)
+        out.append(v)
+    return out
+
+
+class TestTokenize:
+    @given(st.lists(st.integers(min_value=-(2 ** 63), max_value=2 ** 63 - 1),
+                    min_size=0, max_size=60))
+    @settings(max_examples=300, deadline=None)
+    def test_matches_scalar_or_falls_back(self, vals):
+        data = b"".join(encode_sleb128(v) for v in vals)
+        toks = tokenize(data, 0)
+        if toks is None:
+            # fallback is only legal when some token needs the raw-9th-byte
+            # form with bit 7 set (value with bit 63 set)
+            assert any(len(encode_sleb128(v)) == 9
+                       and encode_sleb128(v)[8] >= 0x80 for v in vals)
+        else:
+            assert toks == _scalar_stream(data)
+
+    def test_exact_values_across_lengths(self):
+        vals = [0, 1, -1, 63, -64, 64, -65, 8191, -8192,
+                2 ** 20, -(2 ** 20), 2 ** 41 + 17, -(2 ** 41) - 17,
+                2 ** 54, -(2 ** 54), 2 ** 55 - 1, -(2 ** 55),
+                1_700_000_000_000_000_000]
+        data = b"".join(encode_sleb128(v) for v in vals)
+        assert tokenize(data, 0) == vals
+
+    def test_offset_start(self):
+        data = b"\xff\xff" + encode_sleb128(300) + encode_sleb128(-7)
+        assert tokenize(data, 2) == [300, -7]
+
+    def test_final_capped_varint_with_high_ninth_byte_falls_back(self):
+        v = -(2 ** 56) + 123  # 9-byte encoding, 9th raw byte = 0xFF
+        enc = encode_sleb128(v)
+        assert len(enc) == 9 and enc[8] >= 0x80
+        assert tokenize(encode_sleb128(5) + enc, 0) is None
+
+    def test_mid_stream_capped_varint_merges_and_falls_back(self):
+        v = -(2 ** 56) + 123
+        assert tokenize(encode_sleb128(v) + encode_sleb128(1), 0) is None
+
+    def test_trailing_truncated_varint_is_clipped(self):
+        # <9 trailing continuation bytes = a genuinely truncated varint; the
+        # walker hitting the missing token raises exactly where the scalar
+        # reader would
+        data = encode_sleb128(42) + b"\x80\x80"
+        assert tokenize(data, 0) == [42]
+
+    def test_empty_and_all_continuation(self):
+        assert tokenize(b"", 0) == []
+        assert tokenize(b"\x80" * 4, 0) is None
+
+
+SPAN_TS = 1_700_000_000_000_000_000
+
+
+def _mkspan(i: int) -> dict:
+    return {
+        "traceId": bytes.fromhex(f"{i % 7:032x}"),
+        "spanId": bytes.fromhex(f"{i % 11:016x}"),
+        "traceState": "cc=1" if i % 10 == 0 else None,
+        "parentSpanId": bytes.fromhex(f"{i % 5:016x}") if i % 3 else None,
+        "name": f"GET /p/{i % 4}",
+        "kind": (i % 6) or None,
+        "startTimeUnixNano": SPAN_TS + i * 1_000_000,
+        "endTimeUnixNano": SPAN_TS + i * 1_000_000 + 5_000_000,
+        "attributes": {"http.url": f"https://h{i % 5}.example/p{i % 4}",
+                       "http.status_code": 200, "n_chars": 100 + i % 3},
+        "droppedAttributesCount": None,
+        "events": [{"timeUnixNano": SPAN_TS + i, "name": "fetch",
+                    "attributes": {"phase": "connect",
+                                   "probe": {"ttl": 64, "hops": [1, 2]}},
+                    "droppedAttributesCount": None}]
+        if i % 4 == 0 else None,
+        "droppedEventsCount": None,
+        "links": [{"traceId": bytes.fromhex(f"{(i + 1) % 7:032x}"),
+                   "spanId": None, "traceState": None,
+                   "attributes": {"rel": "prev"},
+                   "droppedAttributesCount": None}]
+        if i % 5 == 0 else None,
+        "droppedLinksCount": 1 if i % 2 else None,
+        "status": {"message": "OK" if i % 4 == 0 else None, "code": i % 3},
+    }
+
+
+def _mkdoc(n: int) -> dict:
+    return {"resourceSpans": [{
+        "resource": {"attributes": {"service.name": "s", "host.bucket": 3},
+                     "droppedAttributesCount": None},
+        "scopeSpans": [{
+            "scope": {"name": "x", "version": "0.1.0", "attributes": {},
+                      "droppedAttributesCount": None},
+            "spans": [_mkspan(i) for i in range(n)],
+            "schemaUrl": None,
+        }],
+        "schemaUrl": None,
+    }]}
+
+
+class TestWalker:
+    def test_trace_model_is_token_safe(self):
+        # every STRING/BYTES/OBJECT leaf under resourceSpans is pooled, so
+        # the data region is pure flags+varints (the property the whole
+        # fast path rests on — if a schema change breaks it, this test
+        # flags the silent loss of the vectorized path)
+        m = trace_model()
+        assert token_safe(m)
+        assert decoder_mod._plan_for(m).token_walker is not None
+
+    @pytest.mark.parametrize("n", [0, 1, 7, 200])
+    def test_fast_equals_scalar(self, n):
+        m = trace_model()
+        blob = encode(_mkdoc(n), m)
+        plan = decoder_mod._plan_for(m)
+        fast = decode(blob, m)
+        saved = plan.token_walker
+        try:
+            plan.token_walker = None
+            scalar = decode(blob, m)
+        finally:
+            plan.token_walker = saved
+        assert fast == scalar
+
+    def test_python_scalar_types(self):
+        # walker must hand back plain Python ints/bools (tolist() boundary),
+        # not numpy scalars — object-dtype pandas frames and == semantics
+        # downstream rely on it
+        m = trace_model()
+        out = decode(encode(_mkdoc(3), m), m)
+        span = out["resourceSpans"][0]["scopeSpans"][0]["spans"][1]
+        assert type(span["startTimeUnixNano"]) is int
+        assert type(span["status"]["code"]) is int
+
+    def test_bit63_delta_uses_fallback_and_still_decodes(self):
+        # startTimeUnixNano diff delta ≤ -2^55 → 9-byte varint with bit 63
+        # set → region not tokenizable → scalar path, same result
+        m = trace_model()
+        doc = _mkdoc(2)
+        spans = doc["resourceSpans"][0]["scopeSpans"][0]["spans"]
+        spans[0]["startTimeUnixNano"] = 2 ** 60
+        spans[1]["startTimeUnixNano"] = 0
+        blob = encode(doc, m)
+        out = decode(blob, m)
+        got = out["resourceSpans"][0]["scopeSpans"][0]["spans"]
+        assert got[0]["startTimeUnixNano"] == 2 ** 60
+        assert got[1]["startTimeUnixNano"] == 0
+
+    def test_missing_pool_and_bad_index_raise_codec_error(self):
+        m = trace_model()
+        walker = decoder_mod._plan_for(m).token_walker
+        # resourceSpans present(1) count(1) → resource pool ref with no
+        # pools decoded at all
+        with pytest.raises(CodecError, match="missing pool"):
+            walker([1, 1, 0], {})
+        with pytest.raises(CodecError, match="out of range"):
+            walker([1, 1, 5], {"resourceSpans item resource": [{}]})
+
+    def test_token_exhaustion_raises_codec_error_via_decode(self):
+        m = trace_model()
+        blob = encode(_mkdoc(4), m)
+        # chop the data region mid-stream at a token boundary the scan
+        # accepts: magic + a few bytes
+        cut = blob[: blob.index(b"cprval") + 6 + 3]
+        with pytest.raises(CodecError):
+            decode(cut, m)
+
+    def test_non_token_safe_schema_has_no_walker(self):
+        from compress_otel_collector_spark.codec.definition import (
+            DOUBLE, OBJECT, load_definition,
+        )
+        d = load_definition({"type": OBJECT, "fields": {
+            "x": {"type": DOUBLE}}})
+        assert not token_safe(d)
+        assert compile_walker(d) is None
+        # scalar path still decodes it
+        blob = encode({"x": 1.5}, d)
+        assert decode(blob, d) == {"x": 1.5}
+
+    @given(st.integers(min_value=0, max_value=10 ** 6))
+    @settings(max_examples=50, deadline=None)
+    def test_fast_equals_scalar_fuzz(self, seed):
+        rng = np.random.default_rng(seed)
+        n = int(rng.integers(1, 12))
+        m = trace_model()
+        doc = _mkdoc(n)
+        spans = doc["resourceSpans"][0]["scopeSpans"][0]["spans"]
+        for sp in spans:
+            sp["startTimeUnixNano"] = int(rng.integers(0, 2 ** 62))
+            sp["endTimeUnixNano"] = int(rng.integers(0, 2 ** 62))
+            sp["kind"] = int(rng.integers(0, 5)) or None
+        blob = encode(doc, m)
+        plan = decoder_mod._plan_for(m)
+        fast = decode(blob, m)
+        saved = plan.token_walker
+        try:
+            plan.token_walker = None
+            scalar = decode(blob, m)
+        finally:
+            plan.token_walker = saved
+        assert fast == scalar
