@@ -49,7 +49,6 @@ from pyspark.sql.types import (
 )
 
 from ..codec.batch import DEFAULT_SCOPE, encode_span_dataframe
-from ..codec.decoder import decode as decode_blob
 from ..codec.definition import trace_model
 from ..codec.otlp_proto import spans_columns_to_proto
 from ..functions.columns import (
@@ -460,83 +459,35 @@ def roundtrip_check(encoded: DataFrame) -> DataFrame:
     model = trace_model()
 
     def fn(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
         import pyarrow as pa
+
+        from .projector import project_blob
 
         zstd = pa.Codec("zstd")
         for pdf in iterator:
-            rows = []
+            rows: list[tuple] = []
             for blob_z, raw_len in zip(pdf["blob"], pdf["raw_bytes"]):
-                doc = decode_blob(
+                # fused token-walk projection with pre-projected pools
+                # (plans/projector.py; generic tree path = project_doc,
+                # equality pinned by tests/test_projector.py)
+                rows.extend(project_blob(
                     zstd.decompress(bytes(blob_z),
                                     decompressed_size=int(raw_len)),
                     model,
-                )
-                for rs in doc.get("resourceSpans") or []:
-                    res_attrs = rs["resource"]["attributes"] or {}
-                    for ss in rs.get("scopeSpans") or []:
-                        scope = ss.get("scope") or {}
-                        for sp in ss.get("spans") or []:
-                            attrs = sp.get("attributes") or {}
-                            events = sp.get("events") or []
-                            links = sp.get("links") or []
-                            ev = events[0] if events else {}
-                            ev_attrs = ev.get("attributes") or {}
-                            probe = ev_attrs.get("probe") or {}
-                            hops = probe.get("hops")
-                            ln = links[0] if links else {}
-                            ln_attrs = ln.get("attributes") or {}
-                            tid = sp.get("traceId")
-                            sid = sp.get("spanId")
-                            pid = sp.get("parentSpanId")
-                            ltid = ln.get("traceId")
-                            lsid = ln.get("spanId")
-                            # tuple in _ROUNDTRIP_SCHEMA field order —
-                            # transposed columnwise below with one
-                            # C-level zip instead of a dict per span +
-                            # 31 per-column list comprehensions
-                            rows.append((
-                                attrs.get("http.url"),
-                                attrs.get("lang"),
-                                tid.hex() if tid else None,
-                                sid.hex() if sid else None,
-                                pid.hex() if pid else None,
-                                sp.get("traceState"),
-                                sp.get("name"),
-                                sp.get("kind"),
-                                sp.get("startTimeUnixNano"),
-                                sp.get("endTimeUnixNano"),
-                                sp["status"].get("message"),
-                                sp["status"].get("code"),
-                                sp.get("droppedAttributesCount"),
-                                sp.get("droppedEventsCount"),
-                                sp.get("droppedLinksCount"),
-                                attrs.get("http.status_code"),
-                                attrs.get("n_chars"),
-                                len(events),
-                                ev.get("name"),
-                                ev.get("timeUnixNano"),
-                                ev_attrs.get("phase"),
-                                probe.get("ttl"),
-                                None if hops is None else
-                                ",".join(str(x) for x in hops),
-                                len(links),
-                                ltid.hex() if ltid else None,
-                                lsid.hex() if lsid else None,
-                                ln_attrs.get("rel"),
-                                res_attrs.get("service.name"),
-                                res_attrs.get("host.bucket"),
-                                scope.get("name"),
-                                scope.get("version"),
-                            ))
+                ))
             if rows:
                 # column-wise with dtype=object: pd.DataFrame(rows) would
                 # turn an int+None column into float64, rounding ns
                 # timestamps at 256 ns (ints > 2^53)
                 cols = tuple(zip(*rows))
-                yield pd.DataFrame({
-                    f.name: pd.Series(cols[i], dtype=object)
-                    for i, f in enumerate(_ROUNDTRIP_SCHEMA.fields)
-                })
+                n = len(rows)
+                out = {}
+                for i, f in enumerate(_ROUNDTRIP_SCHEMA.fields):
+                    a = np.empty(n, dtype=object)
+                    a[:] = cols[i]
+                    out[f.name] = a
+                yield pd.DataFrame(out, copy=False)
 
     return encoded.mapInPandas(fn, schema=_ROUNDTRIP_SCHEMA)
 
