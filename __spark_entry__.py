@@ -32,7 +32,7 @@ from compress_otel_collector_spark.operators import (
 )
 from compress_otel_collector_spark.plans.pipeline import (
     aggregate_stage,
-    encode_stage,
+    encode_pages,
     enrich_stage,
     expected_roundtrip,
     parse_stage,
@@ -77,8 +77,8 @@ _SHINGLES_CTE = _TOKS_CTE + (
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     pages = pages_from_documents(spark, "/root/testdata/sf0.001")
-    spans = span_stage(enrich_stage(parse_stage(pages), spark))
-    encoded = encode_stage(spans, n_salts=4, arms=True)
+    enriched = enrich_stage(parse_stage(pages), spark)
+    encoded = encode_pages(enriched, n_salts=4, arms=True)
     return aggregate_stage(encoded)
 
 
@@ -657,10 +657,10 @@ def _q_codec_roundtrip(spark, sf_dir):
     actions over an unpersisted lineage and re-encoded everything 3×).
     """
     pages = pages_from_documents(spark, sf_dir)
-    spans = span_stage(enrich_stage(parse_stage(pages), spark))
-    encoded = encode_stage(spans, n_salts=4, arms=False)
+    enriched = enrich_stage(parse_stage(pages), spark)
+    encoded = encode_pages(enriched, n_salts=4, arms=False)
     return roundtrip_counts(roundtrip_check(encoded),
-                            expected_roundtrip(spans))
+                            expected_roundtrip(span_stage(enriched)))
 
 
 def _q_pipeline_sinks(spark, sf_dir):
@@ -670,8 +670,8 @@ def _q_pipeline_sinks(spark, sf_dir):
     straight from documents — so the encode/route hop is verified to neither
     drop nor duplicate pages, and the production md5 bucket is exact."""
     pages = pages_from_documents(spark, sf_dir)
-    spans = span_stage(enrich_stage(parse_stage(pages), spark))
-    encoded = encode_stage(spans, n_salts=4, arms=False)
+    enriched = enrich_stage(parse_stage(pages), spark)
+    encoded = encode_pages(enriched, n_salts=4, arms=False)
     return (
         encoded.groupBy("lang", "host_bucket")
         .agg(F.sum("n_spans").alias("pages"))
@@ -681,8 +681,8 @@ def _q_pipeline_sinks(spark, sf_dir):
 def _q_pipeline_arms(spark, sf_dir):
     """Compression-arm byte metrics per sink (codec outputs — no SQL twin)."""
     pages = pages_from_documents(spark, sf_dir)
-    spans = span_stage(enrich_stage(parse_stage(pages), spark))
-    return aggregate_stage(encode_stage(spans, n_salts=4, arms=True))
+    enriched = enrich_stage(parse_stage(pages), spark)
+    return aggregate_stage(encode_pages(enriched, n_salts=4, arms=True))
 
 
 def _q_pipeline_resume(spark, sf_dir):

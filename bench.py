@@ -84,17 +84,16 @@ def run_pipeline_synth(spark, n_pages: int, arms: bool = True,
 
     from compress_otel_collector_spark.plans.pipeline import (
         aggregate_stage,
-        encode_stage,
+        encode_pages,
         enrich_stage,
         parse_stage,
-        span_stage,
     )
 
     path = materialize_pages(spark, n_pages, realistic=realistic)
     pages = spark.read.parquet(path)
     t0 = time.time()
-    spans = span_stage(enrich_stage(parse_stage(pages), spark))
-    agg = aggregate_stage(encode_stage(spans, n_salts=n_salts, arms=arms,
+    enriched = enrich_stage(parse_stage(pages), spark)
+    agg = aggregate_stage(encode_pages(enriched, n_salts=n_salts, arms=arms,
                                        events_every=events_every))
     row = agg.agg(
         F.sum("pages").alias("pages"),

@@ -265,8 +265,14 @@ def _plan_for(definition: Definition) -> _Plan:
     return plan
 
 
-def decode(blob: bytes, definition: Definition):
-    """Decode one framed blob; inverse of :func:`encoder.encode`."""
+def decode_meta(blob: bytes, definition: Definition):
+    """Decode the meta block (string pool + value pools) and verify magic.
+
+    Returns ``(string_pool, value_pools, reader)`` with the reader
+    positioned at the first data-region byte — the shared prefix of
+    :func:`decode` and any specialized data-region consumer (e.g. the
+    roundtrip projector in ``plans/projector.py``).
+    """
     plan = _plan_for(definition)
     r = _Reader(bytes(blob))
 
@@ -285,6 +291,13 @@ def decode(blob: bytes, definition: Definition):
 
     if r.read_bytes(len(_MAGIC)) != _MAGIC:
         raise CodecError("magic error")
+    return string_pool, value_pools, r
+
+
+def decode(blob: bytes, definition: Definition):
+    """Decode one framed blob; inverse of :func:`encoder.encode`."""
+    plan = _plan_for(definition)
+    string_pool, value_pools, r = decode_meta(blob, definition)
 
     if plan.token_walker is not None:
         from .tokdecode import tokenize

@@ -72,15 +72,23 @@ def warc_day_expr(ts_col: str = "warc_ts") -> Column:
     return F.date_trunc("day", F.col(ts_col)).cast("date")
 
 
-def span_columns(doc_id_col: str = "doc_id") -> list[Column]:
+def span_columns(doc_id_col: str = "doc_id",
+                 n_chars_col: str | None = None) -> list[Column]:
     """Synthesize the OTel-shaped span columns from a parsed page row.
 
     Deterministic functions of (url, doc_id, warc_ts, text):
     trace_id = md5(url) (16B), span_id = first 8B, parent empty (→ null-
     coerced), timestamps in unix-nanos (reference keeps them as integers,
     model/trace.json:108-117).
+
+    ``n_chars_col`` names a precomputed ``length(text)`` long column —
+    the narrow-shuffle encode path (``plans.pipeline.encode_pages``)
+    ships that 8-byte long through the exchange instead of the text
+    column, then derives everything else here post-exchange.
     """
     c = F.col(doc_id_col)
+    n_chars = (F.col(n_chars_col) if n_chars_col is not None
+               else F.length(F.col("text")).cast("long"))
     start_ns = F.unix_micros(F.col("warc_ts")) * 1000
     return [
         F.unhex(F.md5(F.col("url"))).alias("trace_id"),
@@ -91,13 +99,12 @@ def span_columns(doc_id_col: str = "doc_id") -> list[Column]:
         F.concat(F.lit("GET /p"), (c % 20).cast("string")).alias("name"),
         (c % 6).cast("long").alias("kind"),
         start_ns.alias("start_ns"),
-        (start_ns + F.length(F.col("text")).cast("long") * 1000000)
-        .alias("end_ns"),
+        (start_ns + n_chars * 1000000).alias("end_ns"),
         F.lit(0).cast("long").alias("dropped_attributes_count"),
         F.lit(0).cast("long").alias("dropped_events_count"),
         (c % 2).cast("long").alias("dropped_links_count"),
         F.when(c % 4 == 0, F.lit("OK")).otherwise(F.lit(""))
         .alias("status_message"),
         (c % 3).cast("long").alias("status_code"),
-        F.length(F.col("text")).cast("long").alias("n_chars"),
+        n_chars.alias("n_chars"),
     ]

@@ -353,6 +353,43 @@ def encode_stage(spans: DataFrame, n_salts: int = 16,
                           schema=ENCODED_SCHEMA)
 
 
+def encode_pages(enriched: DataFrame, n_salts: int = 16,
+                 arms: bool = True, events_every: int = 10,
+                 links_every: int = 7,
+                 shuffle_partitions: Optional[int] = None) -> DataFrame:
+    """Route-aligned repartition with a NARROW shuffle payload.
+
+    Same rows and blobs as ``encode_stage(span_stage(enriched))`` — the
+    span columns are deterministic expressions of (url, doc_id, warc_ts,
+    length(text)) — but the exchange ships only
+    ``(url, lang, host_bucket, doc_id, warc_ts, n_chars, salt)``
+    (~60 B/row) instead of the derived span row (~175 B/row with the md5
+    trace/span ids, name, status and three timestamp/dropped-count longs).
+    The derivation runs AFTER the exchange, where it pipelines into the
+    encode task. At 100 TB the single keyed exchange is the job's dominant
+    IO, so payload width is the first-order lever; trading ~3× shuffle
+    bytes for re-evaluating cheap hash/arithmetic expressions on the
+    reduce side is strictly better at any cluster size. Pinned by
+    ``tests/test_plans.py`` (derivation above the exchange, narrow
+    payload below) and a wide≡narrow equality gate.
+    """
+    narrow = enriched.select(
+        "url", "lang", "host_bucket", "doc_id", "warc_ts",
+        F.length(F.col("text")).cast("long").alias("n_chars_pre"),
+        salt_expr("url", n_salts).alias("salt"),
+    )
+    if shuffle_partitions:
+        routed = narrow.repartition(shuffle_partitions,
+                                    "lang", "host_bucket", "salt")
+    else:
+        routed = narrow.repartition("lang", "host_bucket", "salt")
+    spans = routed.select(
+        "url", "lang", "host_bucket", "doc_id",
+        *span_columns("doc_id", n_chars_col="n_chars_pre"))
+    return spans.mapInPandas(_encode_batches(arms, events_every, links_every),
+                             schema=ENCODED_SCHEMA)
+
+
 def route_stage(encoded: DataFrame, out_dir: str,
                 debug_json: bool = False) -> None:
     """Fan-out sink: one partition dir per (lang, host_bucket) route.
@@ -679,7 +716,6 @@ def run_pipeline(
 
     parsed = parse_stage(pages, use_pandas_udf=use_pandas_udf_parse)
     enriched = enrich_stage(parsed, spark, n_buckets=n_buckets)
-    spans = span_stage(enriched)
     if resume:
         done = completed_sinks(spark, out_dir)
         if done is not None:
@@ -687,10 +723,10 @@ def run_pipeline(
             # equality anti-join would never match them against completed
             # routes and re-append them on every resume.
             cond = (
-                spans["lang"].eqNullSafe(done["lang"])
-                & spans["host_bucket"].eqNullSafe(done["host_bucket"])
+                enriched["lang"].eqNullSafe(done["lang"])
+                & enriched["host_bucket"].eqNullSafe(done["host_bucket"])
             )
-            spans = spans.join(F.broadcast(done), cond, "left_anti")
-    encoded = encode_stage(spans, n_salts=n_salts, arms=arms)
+            enriched = enriched.join(F.broadcast(done), cond, "left_anti")
+    encoded = encode_pages(enriched, n_salts=n_salts, arms=arms)
     route_stage(encoded, out_dir)
     return aggregate_stage(read_routed(spark, out_dir))

@@ -30,10 +30,9 @@ from pyspark.sql import functions as F
 from ..plans.pipeline import (
     _read_meta,
     _write_meta,
-    encode_stage,
+    encode_pages,
     enrich_stage,
     parse_stage,
-    span_stage,
 )
 from ..sources.tables import synthetic_pages
 
@@ -104,9 +103,9 @@ def run_streaming_pipeline(
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        spans = span_stage(
-            enrich_stage(parse_stage(batch_df), spark, n_buckets=n_buckets))
-        encoded = encode_stage(spans, n_salts=n_salts, arms=arms)
+        enriched = enrich_stage(parse_stage(batch_df), spark,
+                                n_buckets=n_buckets)
+        encoded = encode_pages(enriched, n_salts=n_salts, arms=arms)
         route_stream_batch(encoded, out_dir, batch_id)
 
     query = (

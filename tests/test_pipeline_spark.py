@@ -258,3 +258,36 @@ def test_pipeline_resume_probe_restores_only_victim(spark, sf_dir):
     assert row["pages_resumed"] == row["pages_first"]
     assert row["victim_pages_resumed"] == row["victim_pages_first"] > 0
     assert row["other_routes_changed"] == 0
+
+
+class TestEncodePagesNarrow:
+    """encode_pages (narrow shuffle payload) ≡ encode_stage(span_stage(...))
+    — same spans, same routes, same full-fidelity roundtrip."""
+
+    def test_wide_and_narrow_paths_agree(self, spark, pages):
+        from compress_otel_collector_spark.plans.pipeline import encode_pages
+
+        enriched = enrich_stage(parse_stage(pages), spark)
+        wide = encode_stage(span_stage(enriched), n_salts=4, arms=False)
+        narrow = encode_pages(enriched, n_salts=4, arms=False)
+        w = wide.groupBy("lang", "host_bucket").agg(
+            F.sum("n_spans").alias("n"), F.sum("raw_bytes").alias("raw"))
+        n = narrow.groupBy("lang", "host_bucket").agg(
+            F.sum("n_spans").alias("n"), F.sum("raw_bytes").alias("raw"))
+        assert sorted(map(tuple, w.collect())) == \
+            sorted(map(tuple, n.collect()))
+
+    def test_narrow_path_roundtrip_full_fidelity(self, spark, pages):
+        from compress_otel_collector_spark.plans.pipeline import (
+            encode_pages,
+            expected_roundtrip,
+            roundtrip_counts,
+        )
+
+        enriched = enrich_stage(parse_stage(pages), spark)
+        decoded = roundtrip_check(encode_pages(enriched, n_salts=4,
+                                               arms=False))
+        row = roundtrip_counts(
+            decoded, expected_roundtrip(span_stage(enriched))).collect()[0]
+        assert row["decoded_spans"] == pages.count()
+        assert row["missing"] == 0 and row["extra"] == 0

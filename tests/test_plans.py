@@ -142,3 +142,25 @@ def test_global_dictionary_two_phase_no_global_sort(spark):
             sorted(firsts.items(), key=lambda kv: (kv[1], kv[0])))
     }
     assert rows == want
+
+
+def test_encode_pages_shuffles_narrow_payload(spark, sf_dir):
+    """The production encode path must derive the span columns AFTER the
+    route exchange: the executedPlan tree prints parents first, so the
+    unhex(md5(url)) id derivation has to appear ABOVE (before) the
+    Exchange line, and the exchange ships only the ~60 B narrow page row
+    (url, lang, host_bucket, doc_id, warc_ts, n_chars, salt) instead of
+    the ~175 B derived span row. Still exactly one shuffle."""
+    from compress_otel_collector_spark.plans.pipeline import encode_pages
+
+    enriched = enrich_stage(parse_stage(pages_from_documents(spark, sf_dir)),
+                            spark)
+    plan = plan_of(encode_pages(enriched, n_salts=4, arms=False))
+    shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert shuffles == 1, f"want exactly 1 shuffle, plan:\n{plan}"
+    # id derivation above the exchange = computed on the reduce side
+    assert "unhex" in plan
+    assert plan.index("unhex") < plan.index("Exchange hashpartitioning"), (
+        "trace/span id derivation ran BEFORE the exchange — the shuffle "
+        f"is carrying the wide span row again:\n{plan[:3000]}"
+    )
