@@ -265,17 +265,25 @@ class TestEncodePagesNarrow:
     — same spans, same routes, same full-fidelity roundtrip."""
 
     def test_wide_and_narrow_paths_agree(self, spark, pages):
+        # routes and span counts must match exactly; bytes legitimately
+        # differ (encode_pages sorts each partition by (lang, bucket,
+        # doc_id) for group cohesion under AQE coalescing + monotone diff
+        # deltas) but must never be WORSE than the wide path beyond noise
         from compress_otel_collector_spark.plans.pipeline import encode_pages
 
         enriched = enrich_stage(parse_stage(pages), spark)
         wide = encode_stage(span_stage(enriched), n_salts=4, arms=False)
         narrow = encode_pages(enriched, n_salts=4, arms=False)
-        w = wide.groupBy("lang", "host_bucket").agg(
-            F.sum("n_spans").alias("n"), F.sum("raw_bytes").alias("raw"))
-        n = narrow.groupBy("lang", "host_bucket").agg(
-            F.sum("n_spans").alias("n"), F.sum("raw_bytes").alias("raw"))
-        assert sorted(map(tuple, w.collect())) == \
-            sorted(map(tuple, n.collect()))
+        w = {tuple(r[:2]): r["n"] for r in wide.groupBy(
+            "lang", "host_bucket").agg(F.sum("n_spans").alias("n"))
+            .collect()}
+        n = {tuple(r[:2]): r["n"] for r in narrow.groupBy(
+            "lang", "host_bucket").agg(F.sum("n_spans").alias("n"))
+            .collect()}
+        assert w == n
+        wz = wide.agg(F.sum("zstd_bytes")).collect()[0][0]
+        nz = narrow.agg(F.sum("zstd_bytes")).collect()[0][0]
+        assert nz <= wz * 1.05, (nz, wz)
 
     def test_narrow_path_roundtrip_full_fidelity(self, spark, pages):
         from compress_otel_collector_spark.plans.pipeline import (
