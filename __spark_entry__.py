@@ -679,20 +679,41 @@ def _q_pipeline_sinks(spark, sf_dir):
 
 
 def _q_pipeline_arms(spark, sf_dir):
-    """Compression-arm byte metrics per sink (codec outputs — no SQL twin)."""
+    """Compression-arm pipeline, oracle-checked (r4, sketch_stats
+    pattern): the full arms path (custom codec + gzip + JSON + OTLP-proto
+    + Arrow-IPC marshal per blob) runs end-to-end; the ledger row carries
+    per-route page counts — recomputed exactly by the DuckDB twin from
+    documents, so the arms path is verified to neither drop nor duplicate
+    pages — plus per-route byte invariants as booleans (TRUE-literal
+    twin). Raw arm byte totals live in the bench JSON: byte counts depend
+    on blob partitioning, so they are a bench metric, not an oracle row."""
     pages = pages_from_documents(spark, sf_dir)
     enriched = enrich_stage(parse_stage(pages), spark)
-    return aggregate_stage(encode_pages(enriched, n_salts=4, arms=True))
+    agg = aggregate_stage(encode_pages(enriched, n_salts=4, arms=True))
+    return agg.select(
+        "lang", "host_bucket",
+        F.col("pages").cast("long").alias("pages"),
+        (F.col("zstd_bytes") < F.col("raw_bytes")).alias("zstd_lt_raw"),
+        (F.col("gzip_bytes") < F.col("raw_bytes")).alias("gzip_lt_raw"),
+        ((F.col("json_zstd_bytes") > 0) & (F.col("proto_zstd_bytes") > 0)
+         & (F.col("arrow_zstd_bytes") > 0)).alias("arms_present"),
+        ((F.col("zstd_vs_json_ratio") > 0.05)
+         & (F.col("zstd_vs_json_ratio") < 2.5)).alias("ratio_in_band"),
+    ).orderBy("lang", "host_bucket")
 
 
 def _q_pipeline_resume(spark, sf_dir):
-    """Routed-sink resume, observable in the driver ledger: run the
-    pipeline, delete one route's partition dir, rerun with resume=True.
-    The rerun must restore exactly the deleted route and must NOT touch
-    any other route (the null-safe broadcast anti-join skips completed
-    routes). Aggregates are collected eagerly (tiny: one row per route)
-    so the returned frame is plain values independent of the temp sink.
-    """
+    """Routed-sink resume, oracle-checked (r4): run the pipeline, delete
+    one route's partition dir, rerun with resume=True. The rerun must
+    restore exactly the deleted route and must NOT touch any other route
+    (the null-safe broadcast anti-join skips completed routes). Every
+    output count is independently recomputed by the DuckDB twin from
+    documents (routes = distinct (lang, md5-bucket), the victim = first
+    non-null route in (lang, bucket) order — the same deterministic
+    choice made below); ``other_routes_changed = 0`` is the resume
+    invariant itself. Aggregates are collected eagerly (tiny: one row per
+    route) so the returned frame is plain values independent of the temp
+    sink."""
     import shutil
     import tempfile
 
@@ -755,10 +776,16 @@ def _q_pipeline_resume(spark, sf_dir):
 
 
 def _q_ann_recall(spark, sf_dir):
-    """Recall@5 of both approximate indexes vs the brute-force baseline —
-    deterministic (fixed hyperplanes / centroid seeds), so the two rows are
-    exact pinnable numbers even though no SQL twin exists (LSH/IVF in pure
-    SQL would re-implement the index, not check it).
+    """Recall@5 of both approximate indexes vs the brute-force baseline,
+    oracle-checked (r4): ``exact_pairs`` = k × n_queries = 100 proves the
+    exact baseline (the same cosine top-k DuckDB verifies in
+    ``embedding_topk``) found a full neighbor set, and per-method recall
+    floors hold as booleans (lsh ≥ 0.3, ivf ≥ 0.4 — measured 0.37/0.42
+    lsh and 0.49/0.55 ivf at sf0.001/sf0.01; TRUE-literal twin). The
+    exact recall VALUES stay pinned to 4dp in
+    tests/test_operators.TestANNRecall (two parameter points per index) —
+    they are SF-dependent, so a literal twin would be wrong at every
+    other SF.
 
     This is the CONSOLIDATED ledger row for ``lsh_cosine_topk`` and
     ``ivf_topk`` (r4: the former separate ``lsh_similarity`` /
@@ -773,11 +800,17 @@ def _q_ann_recall(spark, sf_dir):
     exact = cosine_topk(emb, k=5, n_queries=20)
     lsh = lsh_cosine_topk(emb, k=5, n_queries=20, n_planes=4, n_tables=4)
     ivf = ivf_topk(emb, k=5, n_queries=20, n_cells=16, n_probe=4)
-    return (
+    sc = (
         topk_recall(lsh, exact, "lsh")
         .unionByName(topk_recall(ivf, exact, "ivf"))
-        .orderBy("method")
     )
+    floor = F.when(F.col("method") == "lsh", F.lit(0.3)).otherwise(
+        F.lit(0.4))
+    return sc.select(
+        "method",
+        F.col("exact_pairs").cast("long").alias("exact_pairs"),
+        (F.col("recall") >= floor).alias("recall_floor_ok"),
+    ).orderBy("method")
 
 
 def _q_embedding_dup_lsh(spark, sf_dir):
@@ -992,6 +1025,56 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, {_BUCKET_SQL} AS host_bucket,
                    count(*) AS pages
             FROM documents GROUP BY 1, 2
+        """,
+        # arms path: page counts recomputed exactly; byte invariants are
+        # TRUE-literal booleans (sketch_stats pattern — byte counts are
+        # partitioning-dependent bench metrics, not oracle rows)
+        "pipeline_arms": f"""
+            SELECT lang, {_BUCKET_SQL} AS host_bucket,
+                   count(*) AS pages,
+                   TRUE AS zstd_lt_raw, TRUE AS gzip_lt_raw,
+                   TRUE AS arms_present, TRUE AS ratio_in_band
+            FROM documents GROUP BY 1, 2
+        """,
+        # resume probe: every count is independently recomputed from
+        # documents (routes = distinct (lang, md5-bucket); the victim is
+        # the first non-null route in (lang, bucket) order — the same
+        # deterministic choice the Spark probe makes); 0 changed other
+        # routes is the resume invariant itself
+        "pipeline_resume": f"""
+            WITH routes AS (
+                SELECT lang, {_BUCKET_SQL} AS host_bucket,
+                       count(*) AS pages
+                FROM documents GROUP BY 1, 2
+            ),
+            victim AS (
+                SELECT pages FROM routes WHERE lang IS NOT NULL
+                ORDER BY lang, host_bucket LIMIT 1
+            )
+            SELECT
+                (SELECT count(*) FROM routes) AS routes_total,
+                (SELECT count(*) FROM routes) - 1 AS routes_after_delete,
+                (SELECT count(*) FROM routes) AS routes_after_resume,
+                (SELECT CAST(sum(pages) AS BIGINT) FROM routes)
+                    AS pages_first,
+                (SELECT CAST(sum(pages) AS BIGINT) FROM routes)
+                    AS pages_resumed,
+                (SELECT CAST(pages AS BIGINT) FROM victim)
+                    AS victim_pages_first,
+                (SELECT CAST(pages AS BIGINT) FROM victim)
+                    AS victim_pages_resumed,
+                CAST(0 AS BIGINT) AS other_routes_changed
+        """,
+        # ANN scorecard: exact_pairs = k x n_queries proves the baseline
+        # found a full neighbor set; recall floors hold with margin at
+        # every shipped SF (measured lsh 0.37/0.42, ivf 0.49/0.55 at
+        # sf0.001/sf0.01); exact recall values are pinned in tests
+        "ann_recall": """
+            SELECT 'ivf' AS method, CAST(100 AS BIGINT) AS exact_pairs,
+                   TRUE AS recall_floor_ok
+            UNION ALL
+            SELECT 'lsh', CAST(100 AS BIGINT), TRUE
+            ORDER BY method
         """,
         "enrich_lookup": f"""
             SELECT coalesce(lang_name, 'unmatched') AS lang_name,
