@@ -25,6 +25,14 @@ full-fidelity roundtrip gate.
 Falls back to ``project_doc(decode(blob))`` whenever the region is not
 tokenizable; corrupt blobs surface as ``CodecError`` only (bounds-checked
 pool lookups, token exhaustion mapped to the scalar truncation error).
+
+Known asymmetry: pool pre-projection is EAGER — every pool entry is
+sliced, not only the entries a first event/link references. On
+pipeline-shaped data (probe always a dict, hops always a list) the two
+paths are pinned equal; a hostile blob whose never-referenced pool entry
+has e.g. a non-dict ``probe`` would crash here where the lazy generic
+path would not. Both are loud failures on malformed internal data, and
+the generic path remains authoritative.
 """
 
 from __future__ import annotations
