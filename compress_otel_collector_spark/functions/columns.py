@@ -20,8 +20,17 @@ TEXT_RE = r"(?s)<p>(.*?)</p>"
 
 
 def extract_text_expr(html_col: str = "html") -> Column:
-    """Native parse: html binary → UTF-8 → regex group 1 (byte-identical)."""
-    return F.regexp_extract(F.decode(F.col(html_col), "UTF-8"), TEXT_RE, 1)
+    """Native parse: html binary → UTF-8 → regex group 1 (byte-identical).
+
+    ``make_valid_utf8`` instead of strict ``decode``: at 10^12 crawled
+    pages malformed UTF-8 is a certainty, and strict decode fails the
+    whole TASK on one bad page (MALFORMED_CHARACTER_CODING). Invalid
+    sequences become U+FFFD — the same replacement the pandas variant's
+    ``errors="replace"`` applies — and valid input is untouched, so the
+    byte-identical invariant holds everywhere it can.
+    """
+    return F.regexp_extract(
+        F.make_valid_utf8(F.col(html_col).cast("string")), TEXT_RE, 1)
 
 
 def _extract_text_batch(html: pd.Series) -> pd.Series:

@@ -299,3 +299,63 @@ class TestEncodePagesNarrow:
             decoded, expected_roundtrip(span_stage(enriched))).collect()[0]
         assert row["decoded_spans"] == pages.count()
         assert row["missing"] == 0 and row["extra"] == 0
+
+
+class TestMalformedUtf8Pages:
+    """One malformed-UTF-8 page must never fail the job: at 10^12 crawled
+    pages bad bytes are a certainty. Both parse variants replace invalid
+    sequences with U+FFFD and agree; the page flows through the full
+    encode→decode roundtrip."""
+
+    def _pages(self, spark):
+        rows = [
+            (1, "https://a/1", b"<html><body><p>good text</p></body></html>"),
+            (2, "https://a/2",
+             b"<html><body><p>bad \xff\xfe bytes</p></body></html>"),
+            (3, "https://a/3", b"\xff\x80 no html at all"),
+        ]
+        from pyspark.sql import functions as F
+        return spark.createDataFrame(
+            rows, "doc_id long, url string, html binary").select(
+            "doc_id", "url", "html",
+            F.lit("en").alias("lang"),
+            F.timestamp_seconds(F.lit(1_700_000_000) + F.col("doc_id"))
+            .alias("warc_ts"),
+            F.lit("x").alias("text"),
+        )
+
+    def test_both_parse_variants_tolerate_and_agree(self, spark):
+        pages = self._pages(spark)
+        native = {r["doc_id"]: r["text_extracted"] for r in
+                  parse_stage(pages).select("doc_id", "text_extracted")
+                  .collect()}
+        pandas_v = {r["doc_id"]: r["text_extracted"] for r in
+                    parse_stage(pages, use_pandas_udf=True)
+                    .select("doc_id", "text_extracted").collect()}
+        assert native == pandas_v
+        assert native[1] == "good text"
+        assert "bad " in native[2] and "�" in native[2]
+        assert native[3] == ""  # no <p> → empty extraction, row kept
+
+    def test_malformed_page_survives_the_wire(self, spark):
+        from compress_otel_collector_spark.plans.pipeline import (
+            encode_pages,
+            expected_roundtrip,
+            roundtrip_counts,
+        )
+
+        pages = self._pages(spark)
+        enriched = enrich_stage(pages.withColumn(
+            "text", F.col("html").cast("string")), spark)
+        # text column mirrors html so n_chars is well-defined; route the
+        # hostile pages through encode→decode and demand exact equality
+        enriched = parse_stage(enriched.drop("text_extracted")
+                               if "text_extracted" in enriched.columns
+                               else enriched)
+        encoded = encode_pages(enriched, n_salts=2, arms=False)
+        decoded = roundtrip_check(encoded)
+        row = roundtrip_counts(
+            decoded,
+            expected_roundtrip(span_stage(enriched))).collect()[0]
+        assert row["decoded_spans"] == 3
+        assert row["missing"] == 0 and row["extra"] == 0
