@@ -98,7 +98,14 @@ def span_columns(doc_id_col: str = "doc_id",
     c = F.col(doc_id_col)
     n_chars = (F.col(n_chars_col) if n_chars_col is not None
                else F.length(F.col("text")).cast("long"))
-    start_ns = F.unix_micros(F.col("warc_ts")) * 1000
+    # dirty-data guards (10^12-page corpus): a null warc_ts or null text
+    # must not surface as a null in the codec's NON-nullable
+    # startTimeUnixNano/endTimeUnixNano/n_chars fields — that fails the
+    # whole task in the encoder's type check. Epoch 0 / length 0 are the
+    # explicit "unknown" sentinels.
+    n_chars = F.coalesce(n_chars, F.lit(0).cast("long"))
+    start_ns = F.coalesce(F.unix_micros(F.col("warc_ts")) * 1000,
+                          F.lit(0).cast("long"))
     return [
         F.unhex(F.md5(F.col("url"))).alias("trace_id"),
         F.unhex(F.substring(F.md5(F.col("url")), 1, 16)).alias("span_id"),

@@ -91,7 +91,11 @@ def parse_stage(pages: DataFrame, use_pandas_udf: bool = False) -> DataFrame:
         extract_text_pandas(F.col("html")) if use_pandas_udf
         else extract_text_expr("html")
     )
-    return pages.withColumn("text_extracted", extractor).where(
+    # url is the identity key of the whole pipeline (trace/span ids,
+    # routing salt, dedup) — a crawl record without one is not a page.
+    # null html → null extraction → dropped by the same predicate.
+    return pages.where(F.col("url").isNotNull()).withColumn(
+        "text_extracted", extractor).where(
         F.col("text_extracted").isNotNull()
     )
 
@@ -109,10 +113,17 @@ def enrich_stage(df: DataFrame, spark: SparkSession,
 
 
 def span_stage(df: DataFrame) -> DataFrame:
-    """Project the OTel-shaped span columns (all JVM-side expressions)."""
+    """Project the OTel-shaped span columns (all JVM-side expressions).
+
+    ``n_chars`` derives from ``text_extracted`` — what the parse actually
+    produced — not the input's ``text`` column (identical on rows passing
+    the byte-identical-extraction invariant, but only the former is
+    guaranteed non-null after ``parse_stage``)."""
     keep = [F.col(c) for c in
             ("url", "lang", "host", "host_bucket", "warc_day", "doc_id")]
-    return df.select(*keep, *span_columns("doc_id"))
+    return df.withColumn(
+        "_n_chars_pre", F.length(F.col("text_extracted")).cast("long")
+    ).select(*keep, *span_columns("doc_id", n_chars_col="_n_chars_pre"))
 
 
 def _hex_column(vals, width: int):
@@ -380,7 +391,7 @@ def encode_pages(enriched: DataFrame, n_salts: int = 16,
     """
     narrow = enriched.select(
         "url", "lang", "host_bucket", "doc_id", "warc_ts",
-        F.length(F.col("text")).cast("long").alias("n_chars_pre"),
+        F.length(F.col("text_extracted")).cast("long").alias("n_chars_pre"),
         salt_expr("url", n_salts).alias("salt"),
     )
     if shuffle_partitions:

@@ -359,3 +359,45 @@ class TestMalformedUtf8Pages:
             expected_roundtrip(span_stage(enriched))).collect()[0]
         assert row["decoded_spans"] == 3
         assert row["missing"] == 0 and row["extra"] == 0
+
+
+class TestDirtyDataGuards:
+    """Null url / warc_ts / html must not fail the task (the codec's
+    non-nullable startTimeUnixNano / traceId fields would otherwise throw
+    in the encoder's type check on the first dirty page of 10^12)."""
+
+    def test_dirty_pages_route_or_drop_deterministically(self, spark):
+        from compress_otel_collector_spark.plans.pipeline import (
+            encode_pages,
+            expected_roundtrip,
+            roundtrip_counts,
+        )
+
+        rows = [
+            # (doc_id, url, html, warc_ts_s or None)
+            (1, "https://a/1", b"<p>ok</p>", 1_700_000_000),
+            (2, "https://a/2", b"<p>no ts</p>", None),   # null warc_ts
+            (3, None, b"<p>no url</p>", 1_700_000_001),  # null url → dropped
+            (4, "https://a/4", None, 1_700_000_002),     # null html → dropped
+        ]
+        pages = spark.createDataFrame(
+            rows, "doc_id long, url string, html binary, ts long").select(
+            "doc_id", "url", "html",
+            F.lit("en").alias("lang"),
+            F.timestamp_seconds(F.col("ts")).alias("warc_ts"),
+            F.lit("x").alias("text"),
+        )
+        enriched = enrich_stage(parse_stage(pages), spark)
+        kept = [r["doc_id"] for r in enriched.select("doc_id").collect()]
+        assert sorted(kept) == [1, 2]
+        encoded = encode_pages(enriched, n_salts=2, arms=False)
+        row = roundtrip_counts(
+            roundtrip_check(encoded),
+            expected_roundtrip(span_stage(enriched))).collect()[0]
+        assert row["decoded_spans"] == 2
+        assert row["missing"] == 0 and row["extra"] == 0
+        # the null-ts page carries the epoch-0 sentinel, not a crash
+        decoded = roundtrip_check(encoded)
+        ts0 = decoded.where(F.col("n_chars") == 5).select(
+            "start_ns").collect()[0][0]
+        assert ts0 == 0
