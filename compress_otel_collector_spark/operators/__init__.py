@@ -39,3 +39,8 @@ from .dictionary import (  # noqa: F401
 )
 from .asof import asof_join  # noqa: F401
 from .rangejoin import range_join  # noqa: F401
+from .curation import (  # noqa: F401
+    canonical_url,
+    dedup_canonical_url,
+    stratified_hash_sample,
+)

@@ -1,0 +1,122 @@
+"""Beyond-ledger curation operators: URL canonicalization dedup and
+deterministic stratified sampling (operators/curation.py). The ledger is
+at the driver's 50-row cap, so these are proof-mapped here, including the
+DuckDB-twin parity for the canonicalizer."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from compress_otel_collector_spark.operators.curation import (
+    TRACKING_PARAMS,
+    canonical_url,
+    dedup_canonical_url,
+    stratified_hash_sample,
+)
+from compress_otel_collector_spark.sources.tables import load_table
+
+CASES = [
+    ("https://Example.COM/Path/Page?utm_source=x&id=5#frag",
+     "https://example.com/Path/Page?id=5"),
+    ("HTTP://A.com:80/x/", "http://a.com/x"),
+    ("https://a.com:443/", "https://a.com"),
+    ("https://a.com/x?utm_medium=m", "https://a.com/x"),
+    ("https://a.com/x?gclid=1&keep=2", "https://a.com/x?keep=2"),
+    ("https://a.com/x?keep=2&fbclid=9", "https://a.com/x?keep=2"),
+    ("https://a.com/UPPER", "https://a.com/UPPER"),
+    ("https://a.com:8080/x", "https://a.com:8080/x"),
+    ("https://a.com/x?a=1&b=2", "https://a.com/x?a=1&b=2"),
+    ("https://a.com", "https://a.com"),
+]
+
+
+class TestCanonicalUrl:
+    def test_rules(self, spark):
+        df = spark.createDataFrame([(u,) for u, _ in CASES], "url string")
+        got = [r[0] for r in df.select(canonical_url("url")).collect()]
+        assert got == [want for _, want in CASES]
+
+    def test_duckdb_twin_parity(self, spark):
+        """The documented twin (same regexp steps in DuckDB) must produce
+        byte-identical canonical forms — the canonicalizer is thereby
+        engine-portable like the md5 route bucket."""
+        df = spark.createDataFrame([(u,) for u, _ in CASES], "url string")
+        got = [r[0] for r in df.select(canonical_url("url")).collect()]
+        con = duckdb.connect()
+        con.sql("CREATE TABLE t AS SELECT * FROM (VALUES " +
+                ",".join(f"('{u}')" for u, _ in CASES) + ") v(url)")
+        tracking = "|".join(TRACKING_PARAMS)
+        duck = [r[0] for r in con.sql(f"""
+            SELECT regexp_replace(
+                     regexp_replace(
+                      concat(lower(regexp_extract(u3,
+                               '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/]*)', 1)),
+                             substring(u3, length(regexp_extract(u3,
+                               '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/]*)', 1)) + 1)),
+                      '^(https?://[^/:]+):(?:80|443)(/|$)', '\\1\\2'),
+                     '(.+?)/$', '\\1') AS canon
+            FROM (
+             SELECT regexp_replace(
+                     regexp_replace(
+                      regexp_replace(
+                       regexp_replace(
+                        regexp_replace(url, '#.*$', ''),
+                        '(?i)[?&]({tracking})=[^&#]*', '', 'g'),
+                       '\\?&', '?'),
+                      '^([^?]*)&', '\\1?'),
+                     '\\?$', '') AS u3
+             FROM t)
+        """).fetchall()]
+        assert duck == got
+
+
+class TestDedupCanonicalUrl:
+    def test_variant_urls_collapse(self, spark):
+        rows = [
+            (1, "https://a.com/x?utm_source=feed"),
+            (2, "https://A.COM/x"),
+            (3, "https://a.com/x/"),
+            (4, "https://a.com/y"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, url string")
+        out = {r["canon_url"]: (r["keep_id"], r["n_variants"])
+               for r in dedup_canonical_url(df).collect()}
+        assert out == {
+            "https://a.com/x": (1, 3),
+            "https://a.com/y": (4, 1),
+        }
+
+    def test_single_shuffle_plan(self, spark, sf_dir):
+        docs = load_table(spark, sf_dir, "documents").withColumn(
+            "url", F.concat(F.lit("https://h"),
+                            (F.col("doc_id") % 7).cast("string"),
+                            F.lit(".com/p"), F.col("doc_id").cast("string")))
+        plan = dedup_canonical_url(docs)._jdf.queryExecution() \
+            .executedPlan().toString()
+        shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+        assert shuffles == 1, plan[:2000]
+
+
+class TestStratifiedHashSample:
+    def test_deterministic_and_proportional(self, spark, sf_dir):
+        docs = load_table(spark, sf_dir, "documents")
+        a = {r["stratum"]: (r["kept"], r["min_id"], r["max_id"])
+             for r in stratified_hash_sample(docs, 20).collect()}
+        b = {r["stratum"]: (r["kept"], r["min_id"], r["max_id"])
+             for r in stratified_hash_sample(docs, 20).collect()}
+        assert a == b  # identical on re-run (df.sample is not)
+        totals = {r["lang"]: r["n"] for r in
+                  docs.groupBy(F.col("lang").alias("lang"))
+                  .agg(F.count("*").alias("n")).collect()}
+        for stratum, (kept, _, _) in a.items():
+            frac = kept / totals[stratum]
+            assert 0.05 <= frac <= 0.40, (stratum, frac)  # ~20% ± noise
+
+    def test_fraction_monotone(self, spark, sf_dir):
+        docs = load_table(spark, sf_dir, "documents")
+        k10 = sum(r["kept"] for r in
+                  stratified_hash_sample(docs, 10).collect())
+        k50 = sum(r["kept"] for r in
+                  stratified_hash_sample(docs, 50).collect())
+        n = docs.count()
+        assert k10 < k50 <= n
