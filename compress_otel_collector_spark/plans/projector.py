@@ -55,7 +55,21 @@ _EV_ATTRS = _SPANS + "events item attributes"
 
 def project_doc(doc: dict) -> list[tuple]:
     """One 31-tuple per span (``_ROUNDTRIP_SCHEMA`` order) from a decoded
-    document tree. The readable reference for :func:`project_blob`."""
+    document tree. The readable reference for :func:`project_blob`.
+
+    Shape errors surface as ``CodecError``: a corrupt blob can decode
+    successfully into a tree whose free-map values have the wrong TYPE
+    (e.g. ``probe`` as an int — found by the byte-flip fuzz campaign);
+    projecting that must fail the typed way, not with a task-killing
+    ``TypeError``."""
+    try:
+        return _project_doc_inner(doc)
+    except (TypeError, AttributeError) as e:
+        raise CodecError(
+            f"decoded tree has unexpected shape: {e}") from None
+
+
+def _project_doc_inner(doc: dict) -> list[tuple]:
     rows = []
     append = rows.append
     for rs in doc.get("resourceSpans") or []:
@@ -138,7 +152,18 @@ def project_blob(raw: bytes, model: Definition) -> list[tuple]:
         # region not tokenizable (bit-63 diff delta or corruption):
         # scalar tree decode + generic projection is authoritative
         return project_doc(decode(raw, model))
+    try:
+        return _project_tokens(toks, vp)
+    except IndexError:
+        raise CodecError("truncated data region") from None
+    except (TypeError, AttributeError) as e:
+        # wrong-typed pool values from a corrupt-but-decodable blob (see
+        # project_doc) — same typed failure as the generic path
+        raise CodecError(
+            f"decoded pools have unexpected shape: {e}") from None
 
+
+def _project_tokens(toks, vp) -> list[tuple]:
     g = vp.get
     res_proj = [((e.get("attributes") or {}).get("service.name"),
                  (e.get("attributes") or {}).get("host.bucket"))

@@ -166,3 +166,23 @@ class TestProjectorCorruption:
                 project_blob(bytes(corrupt), m)
             except CodecError:
                 pass
+
+
+class TestWrongTypedPoolValues:
+    def test_int_probe_raises_codec_error_both_paths(self):
+        """A corrupt blob can decode successfully into a tree whose
+        free-map values have the wrong TYPE (found by the byte-flip fuzz
+        campaign: one flipped type tag turns `probe` into an int). Both
+        projection paths must fail with CodecError, never a task-killing
+        TypeError."""
+        m = trace_model()
+        doc = _mkdoc(2)
+        sp = doc["resourceSpans"][0]["scopeSpans"][0]["spans"][0]
+        sp["events"] = [{"timeUnixNano": 1, "name": "f",
+                         "attributes": {"probe": 5},
+                         "droppedAttributesCount": None}]
+        blob = encode(doc, m)
+        with pytest.raises(CodecError, match="unexpected shape"):
+            project_blob(blob, m)
+        with pytest.raises(CodecError, match="unexpected shape"):
+            project_doc(decode(blob, m))
