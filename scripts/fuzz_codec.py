@@ -1,0 +1,101 @@
+"""Offline codec fuzz campaign (not part of pytest — minutes, not seconds).
+
+Three properties over randomized trace documents:
+
+1. token fast-path decode ≡ scalar closure-plan decode
+2. fused projector ≡ generic tree projection
+3. byte-flip corruption surfaces ONLY CodecError (or succeeds) through
+   decode AND projection — the r4 campaign found one escape this way (a
+   flipped free-value type tag decodes fine but projected as TypeError)
+
+Usage: ``python scripts/fuzz_codec.py [n_docs] [n_corrupt_blobs]``
+(defaults 1500 / 4; ~5 min). Deterministic seeds — rerun reproduces.
+"""
+
+import sys
+
+import numpy as np
+
+sys.path.insert(0, ".")  # repo root
+
+from compress_otel_collector_spark.codec import encode, trace_model  # noqa: E402
+from compress_otel_collector_spark.codec import decoder as D  # noqa: E402
+from compress_otel_collector_spark.codec.values import CodecError  # noqa: E402
+from compress_otel_collector_spark.plans.projector import (  # noqa: E402
+    project_blob,
+    project_doc,
+)
+from tests.test_tokdecode import _mkdoc  # noqa: E402
+
+MASKS = (0x01, 0x02, 0x40, 0x7F, 0x80, 0xC0, 0xFE, 0xFF)
+
+
+def random_doc(rng):
+    doc = _mkdoc(int(rng.integers(0, 25)))
+    spans = doc["resourceSpans"][0]["scopeSpans"][0]["spans"]
+    for sp in spans:
+        sp["startTimeUnixNano"] = int(rng.integers(0, 2 ** 62))
+        sp["endTimeUnixNano"] = int(rng.integers(0, 2 ** 62))
+        r = rng.integers(0, 6)
+        if r == 0:
+            sp["events"] = None
+        elif r == 1:
+            sp["events"] = ([dict(e) for e in (sp["events"] or [])]
+                            * int(rng.integers(1, 4)))
+        if rng.integers(0, 3) == 0:
+            sp["links"] = None
+        if rng.integers(0, 4) == 0:
+            sp["attributes"] = {}
+        if rng.integers(0, 8) == 0:
+            sp["attributes"] = {
+                "deep": {"a": [1, {"b": [True, 2.5, "s"]}]},
+                "nul": "a\x00b", "neg": -(2 ** 40),
+            }
+    return doc
+
+
+def main() -> int:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 1500
+    n_blobs = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    m = trace_model()
+    plan = D._plan_for(m)
+    rng = np.random.default_rng(42)
+
+    for trial in range(n_docs):
+        blob = encode(random_doc(rng), m)
+        fast = D.decode(blob, m)
+        saved = plan.token_walker
+        try:
+            plan.token_walker = None
+            scalar = D.decode(blob, m)
+        finally:
+            plan.token_walker = saved
+        assert fast == scalar, f"decode mismatch at doc {trial}"
+        assert project_blob(blob, m) == project_doc(scalar), \
+            f"projection mismatch at doc {trial}"
+    print(f"equality: {n_docs} docs, fast==scalar and fused==generic")
+
+    crng = np.random.default_rng(123)
+    bad = total = 0
+    for t in range(n_blobs):
+        blob = encode(_mkdoc(int(crng.integers(3, 15))), m)
+        for pos in range(len(blob)):
+            for mask in MASKS:
+                c = bytearray(blob)
+                c[pos] ^= mask
+                total += 1
+                try:
+                    D.decode(bytes(c), m)
+                    project_blob(bytes(c), m)
+                except CodecError:
+                    pass
+                except Exception as e:  # noqa: BLE001 — the point of the fuzz
+                    bad += 1
+                    print(f"ESCAPE blob={t} pos={pos} mask={mask:#x}: "
+                          f"{type(e).__name__}: {e}")
+    print(f"corruption: {total} mutations, non-CodecError escapes: {bad}")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
