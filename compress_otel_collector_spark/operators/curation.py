@@ -1,8 +1,8 @@
 """Corpus-curation operators beyond the 50-entry driver ledger: URL
 canonicalization + canonical-URL dedup, and deterministic hash-mod
-stratified sampling. All JVM-side expressions; each has a DuckDB-twin
-form in its docstring (the ledger is at the driver's 50-row cap, so
-these are proof-mapped through pytest — see PARITY.md "beyond-cap").
+stratified sampling. All JVM-side expressions; the canonicalizer has a
+DuckDB-twin emitter (``canonical_url_sql``) generated from the SAME step
+table, so the Spark expression and the oracle SQL can never drift.
 
 Scale notes: canonicalization is a narrow per-row expression;
 canonical-URL dedup is one hash-aggregate shuffle on the canonical key
@@ -21,36 +21,76 @@ from pyspark.sql import functions as F
 TRACKING_PARAMS = ("utm_source", "utm_medium", "utm_campaign", "utm_term",
                    "utm_content", "gclid", "fbclid", "ref")
 
+_TRK = "|".join(TRACKING_PARAMS)
+
+#: Canonicalization steps BEFORE the host-lowercase split, in order.
+#: Tracker removal is position-aware so the '?' repair can never fire on a
+#: URL that had no tracker (a query-less URL with a literal '&' in the
+#: path stays untouched), and the repair always lands on the FIRST
+#: surviving param, not the last:
+#:   1. drop the '#fragment'
+#:   2. non-leading trackers: '&trk=v' anywhere  -> ''
+#:   3. leading tracker with survivors: '?trk=v&' -> '?'
+#:   4. sole tracker: '?trk=v' at end            -> ''
+#:   5. dangling '?'                             -> ''
+_PRE_STEPS = (
+    (r"#.*$", ""),
+    (rf"(?i)&(?:{_TRK})=[^&#]*", ""),
+    (rf"(?i)\?(?:{_TRK})=[^&#]*&", "?"),
+    (rf"(?i)\?(?:{_TRK})=[^&#]*$", ""),
+    (r"\?$", ""),
+)
+
+#: scheme://host prefix (the only case-insensitive region of a URL)
+_HEAD_RE = r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/]*)"
+
+#: Steps AFTER the lowercase split. Default-port removal is
+#: scheme-specific — http://h:443 and https://h:80 are DIFFERENT origins
+#: from their portless forms and must not be conflated.
+_POST_STEPS = (
+    (r"^(http://[^/:]+):80(/|$)", "$1$2"),
+    (r"^(https://[^/:]+):443(/|$)", "$1$2"),
+    (r"(.+?)/$", "$1"),
+)
+
 
 def canonical_url(url_col: str = "url") -> Column:
     """Canonical form of a URL, as one composable JVM expression.
 
-    Rules (each a regexp step, applied in order):
-    1. drop the ``#fragment``
-    2. drop tracking query params (``TRACKING_PARAMS``), then a dangling
-       ``?`` / ``&``
-    3. lowercase scheme+host (path stays case-sensitive)
-    4. drop default ports (``:80`` http, ``:443`` https)
-    5. drop a single trailing ``/`` on a non-root path
-
-    DuckDB twin: the same five ``regexp_replace``/``lower`` steps compose
-    verbatim (both engines use RE2-compatible syntax for these patterns).
+    Rules: drop fragment; drop tracking params (``TRACKING_PARAMS``,
+    position-aware so '?' survives iff a non-tracker param survives);
+    lowercase scheme+host (path stays case-sensitive); drop the default
+    port for the matching scheme only; drop a single trailing ``/`` on a
+    non-root path. ``canonical_url_sql`` emits the DuckDB twin from the
+    same step table.
     """
     u = F.col(url_col)
-    u = F.regexp_replace(u, r"#.*$", "")
-    tracking = "|".join(TRACKING_PARAMS)
-    u = F.regexp_replace(u, r"(?i)[?&](" + tracking + r")=[^&#]*", "")
-    # a surviving first param may now start with '&' — restore '?'
-    # (anchored: fires only when no '?' remains before the first '&')
-    u = F.regexp_replace(u, r"\?&", "?")
-    u = F.regexp_replace(u, r"^([^?]*)&", r"$1?")
-    u = F.regexp_replace(u, r"\?$", "")
+    for pat, rep in _PRE_STEPS:
+        u = F.regexp_replace(u, pat, rep)
     # lowercase scheme://host only: split at the first '/' after '//'
-    head = F.regexp_extract(u, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/]*)", 1)
+    head = F.regexp_extract(u, _HEAD_RE, 1)
     u = F.concat(F.lower(head),
                  F.substring(u, F.length(head) + 1, F.lit(1 << 30)))
-    u = F.regexp_replace(u, r"^(https?://[^/:]+):(?:80|443)(/|$)", r"$1$2")
-    u = F.regexp_replace(u, r"(.+?)/$", r"$1")
+    for pat, rep in _POST_STEPS:
+        u = F.regexp_replace(u, pat, rep)
+    return u
+
+
+def canonical_url_sql(expr: str) -> str:
+    """DuckDB SQL expression computing the same canonical form over
+    ``expr`` — emitted from the SAME step tables as ``canonical_url`` so
+    the two engines cannot drift (replacement syntax translated
+    ``$N`` -> ``\\N``; DuckDB needs the explicit 'g' flag Spark defaults
+    to). Patterns are RE2-compatible (inline ``(?i)``, non-capturing
+    groups) on both engines.
+    """
+    u = expr
+    for pat, rep in _PRE_STEPS:
+        u = f"regexp_replace({u}, '{pat}', '{rep}', 'g')"
+    head = f"regexp_extract({u}, '{_HEAD_RE}', 1)"
+    u = f"concat(lower({head}), substring({u}, length({head}) + 1))"
+    for pat, rep in _POST_STEPS:
+        u = f"regexp_replace({u}, '{pat}', '{rep.replace('$', chr(92))}', 'g')"
     return u
 
 
@@ -61,7 +101,7 @@ def dedup_canonical_url(df: DataFrame, url_col: str = "url",
     shuffle (min over the canonical key) — the optimal 100 TB shape.
 
     DuckDB twin: ``SELECT canon, min(doc_id) AS keep_id, count(*) AS n
-    FROM (SELECT <canonical_url steps>, doc_id FROM docs) GROUP BY 1``.
+    FROM (SELECT <canonical_url_sql(url)>, doc_id FROM docs) GROUP BY 1``.
     """
     canon = canonical_url(url_col).alias("canon_url")
     return (

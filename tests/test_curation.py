@@ -1,7 +1,10 @@
 """Beyond-ledger curation operators: URL canonicalization dedup and
 deterministic stratified sampling (operators/curation.py). The ledger is
 at the driver's 50-row cap, so these are proof-mapped here, including the
-DuckDB-twin parity for the canonicalizer."""
+DuckDB-twin parity for the canonicalizer (twin SQL emitted by
+canonical_url_sql from the same step table the Spark expression uses).
+CASES is the hand-written independent oracle — the fuzz tests only prove
+engine-portability, so every rule gets an adversarial CASES row."""
 
 import duckdb
 import pytest
@@ -10,6 +13,7 @@ from pyspark.sql import functions as F
 from compress_otel_collector_spark.operators.curation import (
     TRACKING_PARAMS,
     canonical_url,
+    canonical_url_sql,
     dedup_canonical_url,
     stratified_hash_sample,
 )
@@ -27,7 +31,29 @@ CASES = [
     ("https://a.com:8080/x", "https://a.com:8080/x"),
     ("https://a.com/x?a=1&b=2", "https://a.com/x?a=1&b=2"),
     ("https://a.com", "https://a.com"),
+    # tracker-first with >=2 surviving params: '?' must be restored on the
+    # FIRST survivor (a greedy repair would emit the malformed 'p&a=1?b=2')
+    ("http://h.com/p?utm_source=x&a=1&b=2", "http://h.com/p?a=1&b=2"),
+    # literal '&' in a query-less path: the repair must NOT fire
+    ("http://h.com/a&b", "http://h.com/a&b"),
+    # default-port removal is scheme-specific: these are distinct origins
+    ("http://h.com:443/x", "http://h.com:443/x"),
+    ("https://h.com:80/x", "https://h.com:80/x"),
+    # all params are trackers -> query gone entirely
+    ("https://a.com/x?utm_source=a&utm_medium=b", "https://a.com/x"),
+    # three leading trackers before the survivor
+    ("https://a.com/x?utm_source=a&gclid=b&ref=c&id=1",
+     "https://a.com/x?id=1"),
 ]
+
+
+def _duck_canon(urls):
+    """Canonicalize urls in DuckDB via the emitted twin SQL."""
+    con = duckdb.connect()
+    con.sql("CREATE TABLE t(url VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(u,) for u in urls])
+    return [r[0] for r in con.sql(
+        f"SELECT {canonical_url_sql('url')} FROM t").fetchall()]
 
 
 class TestCanonicalUrl:
@@ -37,37 +63,19 @@ class TestCanonicalUrl:
         assert got == [want for _, want in CASES]
 
     def test_duckdb_twin_parity(self, spark):
-        """The documented twin (same regexp steps in DuckDB) must produce
-        byte-identical canonical forms — the canonicalizer is thereby
-        engine-portable like the md5 route bucket."""
+        """The emitted twin must produce byte-identical canonical forms —
+        the canonicalizer is thereby engine-portable like the md5 route
+        bucket (and usable verbatim inside oracle_sql)."""
         df = spark.createDataFrame([(u,) for u, _ in CASES], "url string")
         got = [r[0] for r in df.select(canonical_url("url")).collect()]
-        con = duckdb.connect()
-        con.sql("CREATE TABLE t AS SELECT * FROM (VALUES " +
-                ",".join(f"('{u}')" for u, _ in CASES) + ") v(url)")
-        tracking = "|".join(TRACKING_PARAMS)
-        duck = [r[0] for r in con.sql(f"""
-            SELECT regexp_replace(
-                     regexp_replace(
-                      concat(lower(regexp_extract(u3,
-                               '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/]*)', 1)),
-                             substring(u3, length(regexp_extract(u3,
-                               '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/]*)', 1)) + 1)),
-                      '^(https?://[^/:]+):(?:80|443)(/|$)', '\\1\\2'),
-                     '(.+?)/$', '\\1') AS canon
-            FROM (
-             SELECT regexp_replace(
-                     regexp_replace(
-                      regexp_replace(
-                       regexp_replace(
-                        regexp_replace(url, '#.*$', ''),
-                        '(?i)[?&]({tracking})=[^&#]*', '', 'g'),
-                       '\\?&', '?'),
-                      '^([^?]*)&', '\\1?'),
-                     '\\?$', '') AS u3
-             FROM t)
-        """).fetchall()]
-        assert duck == got
+        assert _duck_canon([u for u, _ in CASES]) == got
+
+    def test_duckdb_twin_matches_handwritten_oracle(self):
+        """The twin alone (no Spark) must reproduce the hand-written
+        expected values — so the twin is checked against an independent
+        oracle, not merely against the Spark expression."""
+        assert _duck_canon([u for u, _ in CASES]) == \
+            [want for _, want in CASES]
 
 
 class TestDedupCanonicalUrl:
@@ -125,9 +133,9 @@ class TestStratifiedHashSample:
 class TestCanonicalUrlFuzzParity:
     def test_random_urls_match_duckdb(self, spark):
         """Engine-portability under fuzz: 300 seeded random URLs (tracker
-        mixes, case, ports, fragments, trailing slashes) must canonicalize
-        byte-identically in Spark and DuckDB (a 3000-URL offline campaign
-        found zero mismatches; this is the fast in-suite slice)."""
+        mixes — including tracker-FIRST shapes with multiple survivors —
+        case, ports, fragments, literal '&' path segments, trailing
+        slashes) must canonicalize byte-identically in Spark and DuckDB."""
         import random
         import string
 
@@ -140,7 +148,7 @@ class TestCanonicalUrlFuzzParity:
                 k=random.randint(3, 12))).strip("-.") or "a"
             port = random.choice(["", ":80", ":443", ":8080"])
             path = "/" + "/".join(
-                "".join(random.choices(string.ascii_letters + "09._~%-",
+                "".join(random.choices(string.ascii_letters + "09._~%-&",
                                        k=random.randint(0, 6)))
                 for _ in range(random.randint(0, 3)))
             params = []
@@ -158,29 +166,4 @@ class TestCanonicalUrlFuzzParity:
         urls = [rand_url() for _ in range(300)]
         df = spark.createDataFrame([(u,) for u in urls], "url string")
         got = [r[0] for r in df.select(canonical_url("url")).collect()]
-        con = duckdb.connect()
-        con.sql("CREATE TABLE t(url VARCHAR)")
-        con.executemany("INSERT INTO t VALUES (?)", [(u,) for u in urls])
-        tracking = "|".join(TRACKING_PARAMS)
-        duck = [r[0] for r in con.sql(f"""
-            SELECT regexp_replace(
-                     regexp_replace(
-                      concat(lower(regexp_extract(u3,
-                               '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/]*)', 1)),
-                             substring(u3, length(regexp_extract(u3,
-                               '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/]*)', 1)) + 1)),
-                      '^(https?://[^/:]+):(?:80|443)(/|$)', '\\1\\2'),
-                     '(.+?)/$', '\\1') AS canon
-            FROM (
-             SELECT regexp_replace(
-                     regexp_replace(
-                      regexp_replace(
-                       regexp_replace(
-                        regexp_replace(url, '#.*$', ''),
-                        '(?i)[?&]({tracking})=[^&#]*', '', 'g'),
-                       '\\?&', '?'),
-                      '^([^?]*)&', '\\1?'),
-                     '\\?$', '') AS u3
-             FROM t)
-        """).fetchall()]
-        assert got == duck
+        assert got == _duck_canon(urls)
