@@ -15,6 +15,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from compress_otel_collector_spark.operators import (
+    canonical_url_sql,
     cosine_topk,
     exact_dedup,
     extract_features,
@@ -297,16 +298,14 @@ def _q_json_props(spark, sf_dir):
     )
 
 
-def _q_date_buckets(spark, sf_dir):
-    """Date-function coverage: per-day counts with month/day breakdown."""
-    ev = load_table(spark, sf_dir, "events")
-    return (
-        ev.groupBy(
-            F.month("ts").cast("int").alias("m"),
-            F.dayofmonth("ts").cast("int").alias("d"))
-        .agg(F.count("*").alias("n"),
-             F.round(F.sum("value"), 4).alias("sum_value"))
-    )
+def _q_dedup_subdoc(spark, sf_dir):
+    """Sub-document (chunk-level) exact dedup — the Lee et al./RefinedWeb
+    pass: 8-token chunk hashes deduped corpus-wide with a keep-longest-doc
+    policy (r4 verdict #3; replaces ``date_buckets``, whose month/day
+    coverage is redundant with ``warc_hour`` — the 50-row ledger cap)."""
+    from compress_otel_collector_spark.operators import subdoc_dedup
+
+    return subdoc_dedup(load_table(spark, sf_dir, "documents"), width=8)
 
 
 def _q_string_funcs(spark, sf_dir):
@@ -559,11 +558,19 @@ def _q_scalar_subquery(spark, sf_dir):
 def _q_corpus_curation(spark, sf_dir):
     """End-to-end training-data curation, composed from the primitive
     operators: quality gate (≥0.7) + language gate (en) → exact dedup
-    keep-first → per-source corpus budget (docs kept, token budget, mean
-    quality). The shape a 100 TB curation job actually runs — filters are
-    narrow, the only shuffles are the dedup hash-agg and the final
-    per-source aggregate."""
-    from compress_otel_collector_spark.operators import dedup_keep_first
+    keep-first → canonical-URL dedup (r4 verdict #8: URL-variant
+    duplicates — tracking params, host case, trailing slash — collapse
+    via operators.curation.canonical_url; the twin reuses the emitted
+    canonical_url_sql) → per-source corpus budget. The documents table
+    has no url column, so each doc derives one deterministically: docs
+    (2k, 2k+1) crawl the same page through two surface forms that only
+    canonicalization unifies. The shape a 100 TB curation job actually
+    runs — filters and canonicalization are narrow, the shuffles are the
+    two dedup hash-aggs and the final per-source aggregate."""
+    from compress_otel_collector_spark.operators import (
+        canonical_url,
+        dedup_keep_first,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     q = quality_score(docs).select("doc_id", "quality", "n_tokens")
@@ -573,7 +580,22 @@ def _q_corpus_curation(spark, sf_dir):
         .where((F.col("quality") >= 0.7) & (F.col("lang_guess") == "en"))
     )
     deduped = dedup_keep_first(kept)
-    return deduped.groupBy("source").agg(
+    base = (F.col("doc_id") - F.col("doc_id") % 2).cast("string")
+    url = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(F.lit("https://h"), base, F.lit(".example.com/page/"),
+                 base, F.lit("?utm_source=feed")),
+    ).otherwise(
+        F.concat(F.lit("HTTPS://H"), base, F.lit(".EXAMPLE.COM/page/"),
+                 base, F.lit("/")),
+    )
+    wu = Window.partitionBy(canonical_url("url")).orderBy("doc_id")
+    url_deduped = (
+        deduped.withColumn("url", url)
+        .withColumn("_rn", F.row_number().over(wu))
+        .where(F.col("_rn") == 1)
+    )
+    return url_deduped.groupBy("source").agg(
         F.count("*").alias("docs_kept"),
         F.sum("n_tokens").alias("token_budget"),
         F.round(F.avg("quality"), 4).alias("avg_quality"),
@@ -814,18 +836,59 @@ def _q_ann_recall(spark, sf_dir):
 
 
 def _q_embedding_dup_lsh(spark, sf_dir):
-    """Embedding near-dup scale path (LSH candidates + exact verify) as a
-    one-row scorecard. Approximate by construction (LSH recall < 1) — no
-    SQL twin; planted-copy recall is pinned by tests instead."""
+    """Embedding near-dup scale path (LSH candidates + exact verify),
+    oracle-checked (r4 verdict #2 — was the last ``no_oracle`` row).
+
+    The shipped embeddings have no natural cos≥0.9 pairs, so the query
+    plants exact copies of vec_ids < 25 at id+10000 — the same corpus on
+    both engines. Scorecard:
+
+    - ``exact_dup_pairs``: brute-force cos≥0.9 pair count over the
+      planted corpus — DuckDB recomputes it exactly with
+      ``list_dot_product`` (the ``embedding_topk`` machinery).
+    - ``planted_found``: planted pairs the LSH path recovered. Identical
+      vectors produce identical signatures in EVERY table, so recovering
+      all 25 is a theorem of the construction, not a measurement — and
+      the twin recomputes 25 as ``count(*) WHERE vec_id < 25``.
+    - ``lsh_subset_ok``: every LSH-found pair is in the exact set (the
+      candidate verifier applies the same rounded cos≥0.9 predicate, so
+      precision is 1 by construction; TRUE-literal twin).
+    - ``recall_floor_ok``: found/exact ≥ 0.8 unless exact is 0
+      (TRUE-literal twin, ``ann_recall`` style; near-dup — not
+      identical — recall is pinned at exact values in
+      tests/test_operators.py planted-copy cases).
+    """
     from compress_otel_collector_spark.operators import (
+        embedding_dup_pairs,
         embedding_dup_pairs_lsh,
     )
 
-    pairs = embedding_dup_pairs_lsh(
-        load_table(spark, sf_dir, "embeddings"), threshold=0.9)
-    return pairs.agg(
-        F.count("*").alias("n_dup_pairs"),
-        F.round(F.coalesce(F.max("cos"), F.lit(0.0)), 4).alias("max_cos"),
+    emb = load_table(spark, sf_dir, "embeddings")
+    copies = (
+        emb.where(F.col("vec_id") < 25)
+        .withColumn("vec_id", F.col("vec_id") + 10000)
+    )
+    corpus = emb.unionByName(copies)
+    found = embedding_dup_pairs_lsh(corpus, threshold=0.9) \
+        .select("a_id", "b_id")
+    exact = embedding_dup_pairs(corpus, threshold=0.9) \
+        .select("a_id", "b_id")
+    n_exact = exact.agg(F.count("*").alias("n"))
+    hits = exact.join(found, ["a_id", "b_id"]).agg(F.count("*").alias("h"))
+    planted = found.where(
+        (F.col("a_id") < 25) & (F.col("b_id") == F.col("a_id") + 10000)
+    ).agg(F.count("*").alias("p"))
+    extra = found.join(exact, ["a_id", "b_id"], "left_anti") \
+        .agg(F.count("*").alias("x"))
+    return (
+        n_exact.crossJoin(hits).crossJoin(planted).crossJoin(extra)
+        .select(
+            F.col("n").cast("long").alias("exact_dup_pairs"),
+            F.col("p").cast("long").alias("planted_found"),
+            (F.col("x") == 0).alias("lsh_subset_ok"),
+            ((F.col("n") == 0) | (F.col("h") >= F.col("n") * 0.8))
+            .alias("recall_floor_ok"),
+        )
     )
 
 
@@ -870,7 +933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops": _q_set_ops,
         "sessionize": _q_sessionize,
         "json_props": _q_json_props,
-        "date_buckets": _q_date_buckets,
+        "dedup_subdoc": _q_dedup_subdoc,
         "string_funcs": _q_string_funcs,
         "global_dict": _q_global_dict,
         "percentiles": _q_percentiles,
@@ -904,9 +967,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": _q_multimodal_features,
         # the flagship correctness gate (constant oracle: n docs, 0, 0)
         "codec_roundtrip": _q_codec_roundtrip,
-        # non-SQL-expressible (rows-only checks); exactly 50 entries total —
-        # the driver ledger records at most 50 rows (r3: entries 51-52 were
-        # silently dropped), so keep this dict at ≤50 with rows-only last
+        # scorecard rows (exact recomputable values + TRUE-literal bounds);
+        # exactly 50 entries total — the driver ledger records at most 50
+        # rows (r3: entries 51-52 were silently dropped) — and since r5
+        # every entry has an oracle_sql twin (zero rows-only)
         "pipeline_arms": _q_pipeline_arms,
         "ann_recall": _q_ann_recall,
         "embedding_dup_lsh": _q_embedding_dup_lsh,
@@ -1196,12 +1260,29 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT)), 4) AS avg_k
             FROM events GROUP BY event_type
         """,
-        "date_buckets": """
-            SELECT CAST(month(ts) AS INT) AS m,
-                   CAST(day(ts) AS INT) AS d,
-                   count(*) AS n,
-                   round(sum(value), 4) AS sum_value
-            FROM events GROUP BY 1, 2
+        # sub-doc dedup: 8-token chunks, md5 unit hash, keep-longest-doc
+        # (ties: doc_id, then unit index) — mirrors operators.dedup
+        # .subdoc_dedup exactly, incl. empty-token filtering via _TOKS_CTE
+        "dedup_subdoc": _TOKS_CTE + """
+            , c AS (SELECT doc_id, len(t) AS nt, i AS ui,
+                           array_to_string(t[(i*8+1):((i+1)*8)], ' ')
+                               AS unit
+                    FROM toks
+                    CROSS JOIN (SELECT unnest(range(0, 4096)) AS i)
+                    WHERE i*8 < len(t))
+            , r AS (SELECT doc_id, ui, unit,
+                           row_number() OVER (
+                               PARTITION BY md5(unit)
+                               ORDER BY nt DESC, doc_id, ui) AS rn
+                    FROM c)
+            SELECT doc_id,
+                   count(*) AS n_units,
+                   CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_dup_units,
+                   CAST(SUM(CASE WHEN rn = 1
+                            THEN len(string_split(unit, ' '))
+                            ELSE 0 END) AS BIGINT) AS kept_tokens
+            FROM r GROUP BY doc_id
         """,
         "string_funcs": """
             SELECT p_partkey,
@@ -1374,10 +1455,23 @@ def oracle_sql() -> dict[str, str]:
             , dedup AS (SELECT *, row_number() OVER (
                             PARTITION BY md5(text) ORDER BY doc_id) AS rn
                         FROM kept)
+            , u AS (SELECT source, doc_id, quality, n_tokens,
+                           CASE WHEN doc_id % 2 = 0
+                                THEN 'https://h' || b || '.example.com/page/'
+                                     || b || '?utm_source=feed'
+                                ELSE 'HTTPS://H' || b || '.EXAMPLE.COM/page/'
+                                     || b || '/' END AS url
+                    FROM (SELECT *, CAST(doc_id - doc_id % 2 AS VARCHAR)
+                                        AS b
+                          FROM dedup WHERE rn = 1))
+            , cu AS (SELECT *, row_number() OVER (
+                         PARTITION BY """ + canonical_url_sql("url") + """
+                         ORDER BY doc_id) AS rn2
+                     FROM u)
             SELECT source, count(*) AS docs_kept,
                    CAST(SUM(n_tokens) AS BIGINT) AS token_budget,
                    round(avg(quality), 4) AS avg_quality
-            FROM dedup WHERE rn = 1 GROUP BY source
+            FROM cu WHERE rn2 = 1 GROUP BY source
         """,
         "dedup_exact": """
             SELECT md5(text) AS text_hash,
@@ -1423,6 +1517,31 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": _minhash_sql(),
         "dedup_simhash": _simhash_sql(),
         "dedup_simhash_hamming": _simhash_hamming_sql(),
+        # planted-copy corpus: vec_ids < 25 duplicated at id+10000 on BOTH
+        # engines; exact_dup_pairs recomputed by brute-force cosine (the
+        # embedding_topk machinery); planted_found = 25 is a theorem of
+        # identical-vector LSH (same signature in every table) and equals
+        # count(vec_id < 25); subset/recall booleans are TRUE-literal
+        # (ann_recall style) with near-dup recall pinned in tests
+        "embedding_dup_lsh": """
+            WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e
+                       FROM embeddings
+                       UNION ALL
+                       SELECT vec_id + 10000, embedding::DOUBLE[]
+                       FROM embeddings WHERE vec_id < 25),
+                 p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                              round(list_dot_product(a.e, b.e) /
+                                    (sqrt(list_dot_product(a.e, a.e))
+                                     * sqrt(list_dot_product(b.e, b.e))),
+                                    4) AS cos
+                       FROM v a JOIN v b ON a.vec_id < b.vec_id)
+            SELECT CAST(count(*) AS BIGINT) AS exact_dup_pairs,
+                   (SELECT CAST(count(*) AS BIGINT) FROM embeddings
+                    WHERE vec_id < 25) AS planted_found,
+                   TRUE AS lsh_subset_ok,
+                   TRUE AS recall_floor_ok
+            FROM p WHERE cos >= 0.9
+        """,
         "embedding_topk": """
             WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS vq
                        FROM embeddings WHERE vec_id < 20),

@@ -11,6 +11,7 @@ from .dedup import (  # noqa: F401
     simhash,
     simhash_dup_groups,
     simhash_hamming_pairs,
+    subdoc_dedup,
     word_shingles,
 )
 from .similarity import (  # noqa: F401
@@ -41,6 +42,7 @@ from .asof import asof_join  # noqa: F401
 from .rangejoin import range_join  # noqa: F401
 from .curation import (  # noqa: F401
     canonical_url,
+    canonical_url_sql,
     dedup_canonical_url,
     stratified_hash_sample,
 )

@@ -452,3 +452,62 @@ def dedup_keep_first(df: DataFrame, text_col: str = "text",
         .where(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def subdoc_dedup(df: DataFrame, width: int = 8, delim: str | None = None,
+                 text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact SUB-document dedup — the Lee et al. / RefinedWeb pass every
+    production corpus runs after doc-level dedup: duplicated passages are
+    removed even when the containing documents differ.
+
+    Units are paragraphs (``delim`` given, e.g. ``"\\n\\n"``) or fixed
+    ``width``-token chunks (``delim=None`` — robust when the corpus has no
+    paragraph structure). Keep policy is keep-longest-doc: a duplicated
+    unit survives only in the document with the most tokens (ties broken
+    by smallest doc id, then smallest unit index), so boilerplate is
+    attributed to the fullest context.
+
+    Returns per doc: ``n_units`` (units in the doc), ``n_dup_units``
+    (instances dropped as duplicates of a kept unit elsewhere),
+    ``kept_tokens`` (token budget surviving the pass). Docs with no
+    tokens (empty/whitespace-only text) drop out — the ``nt >= 1`` guard
+    also keeps ``sequence(0, n_units-1)`` well-formed (Spark's sequence
+    RUNS DOWNWARD for stop < start, so an unguarded empty doc would fan
+    out to two bogus empty chunks).
+
+    100 TB shape: the same as ``exact_dedup`` one level down — a narrow
+    chunking pass (rows fan out ×(tokens/width), bytes do not), ONE
+    hash-partitioned window over md5(unit), then a per-doc hash-agg.
+    No joins, no driver state; the unit hash is uniform so there is no
+    skew to salt. Same dedup-by-content-hash bet as the reference's
+    dictionary pools (custom_map.go:25-41), applied to corpus text.
+    """
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    nt = F.size(toks)
+    if delim is None:
+        n_units = F.ceil(nt / F.lit(width)).cast("int")
+        units = F.transform(
+            F.sequence(F.lit(0), n_units - 1),
+            lambda i: F.array_join(F.slice(toks, i * width + 1, width), " "),
+        )
+    else:
+        units = F.filter(F.split(F.col(text_col), delim, -1),
+                         lambda p: p != "")
+    exploded = (
+        df.where(nt >= 1)
+        .select(F.col(id_col).alias("doc_id"), nt.alias("nt"),
+                F.posexplode(units).alias("ui", "unit"))
+    )
+    w = Window.partitionBy(F.md5(F.col("unit"))).orderBy(
+        F.col("nt").desc(), F.col("doc_id").asc(), F.col("ui").asc())
+    ranked = exploded.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_units"),
+            F.sum((F.col("rn") > 1).cast("long")).alias("n_dup_units"),
+            F.sum(F.when(F.col("rn") == 1,
+                         F.size(F.split(F.col("unit"), " ", -1)))
+                  .otherwise(0).cast("long")).alias("kept_tokens"),
+        )
+    )

@@ -7,6 +7,7 @@ from compress_otel_collector_spark.operators import (
     cosine_topk,
     dedup_keep_first,
     exact_dedup,
+    subdoc_dedup,
     extract_features,
     lsh_cosine_topk,
     minhash_lsh_pairs,
@@ -521,3 +522,78 @@ class TestEmbeddingDupLSH:
         # random vectors have no 0.95-cosine pairs (verified exhaustively
         # for this fixture) — everything reported must be a planted copy
         assert all(b - a == 100000 for a, b in got)
+
+
+class TestSubdocDedup:
+    """Sub-document exact dedup (Lee et al./RefinedWeb pass): paragraph
+    and fixed-width-chunk modes, keep-longest-doc policy."""
+
+    def _rows(self, df):
+        return {r["doc_id"]: (r["n_units"], r["n_dup_units"],
+                              r["kept_tokens"]) for r in df.collect()}
+
+    def test_paragraph_mode_keep_longest(self, spark):
+        """A paragraph shared by three docs survives only in the doc with
+        the most tokens; shorter docs count it as a dropped duplicate."""
+        boiler = "subscribe to our newsletter now"
+        docs = spark.createDataFrame(
+            [(1, f"{boiler}\n\nshort body"),
+             (2, f"unique opening text here\n\n{boiler}\n\nplus a much "
+                 f"longer tail section of many extra tokens"),
+             (3, f"{boiler}")],
+            "doc_id long, text string")
+        got = self._rows(subdoc_dedup(docs, delim=r"\n\n"))
+        # doc 2 is longest -> keeps the boilerplate; docs 1 and 3 drop it
+        # (kept_tokens counts per-unit tokens: 4 + 5 + 10)
+        assert got[2] == (3, 0, 19)
+        assert got[1] == (2, 1, 2)          # keeps only "short body"
+        assert got[3] == (1, 1, 0)          # the whole doc was boilerplate
+
+    def test_paragraph_tie_breaks_by_doc_id(self, spark):
+        docs = spark.createDataFrame(
+            [(7, "same para"), (5, "same para")],
+            "doc_id long, text string")
+        got = self._rows(subdoc_dedup(docs, delim=r"\n\n"))
+        assert got[5] == (1, 0, 2)
+        assert got[7] == (1, 1, 0)
+
+    def test_chunk_mode_unit_count_and_conservation(self, docs):
+        """n_units == ceil(tokens/8) per doc, and dropping a duplicate
+        instance never creates or destroys tokens: sum(kept_tokens) ==
+        distinct-chunk token mass."""
+        out = subdoc_dedup(docs, width=8).cache()
+        toks = docs.select(
+            "doc_id",
+            F.size(F.filter(F.split("text", " "),
+                            lambda t: t != "")).alias("nt"))
+        joined = {r["doc_id"]: (r["n_units"], r["nt"]) for r in
+                  out.join(toks, "doc_id").collect()}
+        assert joined, "no docs"
+        for doc_id, (n_units, nt) in joined.items():
+            assert n_units == -(-nt // 8), doc_id
+        # at sf0.01 the corpus has real chunk-level dups (~175 at width 8)
+        n_dups = out.agg(F.sum("n_dup_units")).first()[0]
+        assert n_dups > 0
+
+    def test_chunk_mode_planted_subdoc_dup(self, spark):
+        """A 8-token passage pasted into two otherwise-different docs is
+        caught (doc-level dedup would miss it)."""
+        passage = "a b c d e f g h"   # exactly one width-8 chunk
+        docs = spark.createDataFrame(
+            [(1, f"{passage} x y z q w e r t"),
+             (2, f"{passage} totally different tail words here now ok")],
+            "doc_id long, text string")
+        got = self._rows(subdoc_dedup(docs, width=8))
+        # doc 1 (16 tokens) outranks doc 2 (15) -> doc 1 keeps the passage
+        assert got[1] == (2, 0, 16)
+        assert got[2] == (2, 1, 7)
+
+    def test_empty_and_whitespace_docs_drop(self, spark):
+        """nt==0 docs drop out (guards Spark's downward-running
+        sequence(0,-1) from fanning out bogus empty chunks)."""
+        docs = spark.createDataFrame(
+            [(1, ""), (2, "   "), (3, "one real doc here")],
+            "doc_id long, text string")
+        got = self._rows(subdoc_dedup(docs, width=8))
+        assert set(got) == {3}
+        assert got[3] == (1, 0, 4)
