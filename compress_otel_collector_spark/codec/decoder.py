@@ -302,16 +302,15 @@ def decode(blob: bytes, definition: Definition):
     if plan.token_walker is not None:
         from .tokdecode import tokenize
 
-        toks = tokenize(r.data, r.pos)
-        if toks is not None:
-            try:
-                return plan.token_walker(toks, value_pools)
-            except IndexError:
-                # token stream exhausted mid-value — same truncation the
-                # scalar reader reports as CodecError
-                raise CodecError("truncated data region") from None
-        # fall through: a >9-byte continuation run (bit-63 diff delta or
-        # corruption) — the scalar path is authoritative
+        # tokenize is total (bit-63 / corrupt runs are scalar-parsed
+        # segment-locally); the scalar path below remains only for
+        # non-token-safe schemas and is pinned ≡ via tests + fuzz
+        try:
+            return plan.token_walker(tokenize(r.data, r.pos), value_pools)
+        except IndexError:
+            # token stream exhausted mid-value — same truncation the
+            # scalar reader reports as CodecError
+            raise CodecError("truncated data region") from None
     return plan.root(r, {}, string_pool, value_pools)
 
 

@@ -23,14 +23,21 @@ Two stages:
    roundtrip/golden/corrupt-input suites plus a dedicated scalar≡token
    property test.
 
-Fallback contract: both stages may return ``None`` — the region is not
-tokenizable when a continuation run exceeds 9 bytes, which a valid wire can
-only produce via a 9-byte varint whose raw 9th byte has bit 7 set (values
-with bit 63 set, i.e. diff deltas ≤ -2^55) and corrupt blobs can produce
-arbitrarily. The caller then uses the scalar reader path, so correctness
-never depends on tokenizability. Corrupt token streams surface as
-``CodecError`` only: pool lookups are bounds-checked in the generated code
-and token exhaustion raises ``IndexError`` which the caller converts.
+:func:`tokenize` is TOTAL (r4 verdict #5 — it used to reject the whole
+region when any continuation run exceeded 9 bytes): the 9-byte cap makes
+the stream uniquely parseable from any known token start (after 8
+continuation bytes the 9th byte is raw, terminator or not), so an
+apparent token of ≤9 bytes from the boundary scan is always genuine, and
+the rare longer runs — a 9-byte varint whose raw 9th byte has bit 7 set
+(value bit 63, i.e. diff deltas ≤ -2^55) reads as a continuation byte
+and merges with following tokens — are scalar-parsed segment-locally and
+spliced in. A blob with occasional bit-63 deltas keeps the vectorized
+fast path for everything else. Only :func:`compile_walker` may return
+``None`` (non-token-safe schema → scalar reader path). Corrupt token
+streams surface as ``CodecError`` only: pool lookups are bounds-checked
+in the generated code, token exhaustion (incl. a truncated trailing
+varint, whose partial token is dropped) raises ``IndexError`` which the
+caller converts.
 """
 
 from __future__ import annotations
@@ -79,13 +86,43 @@ def token_safe(d: Definition, use_pool: bool = True) -> bool:
 # Stage 1: tokenizer
 # --------------------------------------------------------------------------
 
-def tokenize(data: bytes, start: int):
+def _run_tokens(b: np.ndarray, s: int, e: int) -> list[int]:
+    """Scalar-parse ``b[s:e]`` as consecutive capped sleb128 varints.
+
+    Handles the segments the boundary scan cannot split: a 9-byte varint
+    whose raw 9th byte has bit 7 set (value bit 63) reads as a
+    continuation byte and merges with the tokens after it, up to the next
+    genuine terminator. The 9-byte cap makes the parse deterministic: a
+    capped token always consumes exactly 9 bytes, so the segment's final
+    token lands exactly on its terminator. A truncated trailing varint
+    (data end only) is dropped — the walker raises IndexError exactly
+    where the scalar reader would raise "truncated varint".
+    """
+    from .varint import decode_sleb128
+
+    seg = b[s:e].tobytes()
+    out = []
+    pos, n = 0, len(seg)
+    while pos < n:
+        try:
+            v, pos = decode_sleb128(seg, pos)
+        except IndexError:
+            break
+        out.append(v)
+    return out
+
+
+def tokenize(data: bytes, start: int) -> list[int]:
     """Token values of the sleb128 stream ``data[start:]`` as a Python list.
 
-    Returns ``None`` when the simple boundary scan cannot be trusted (any
-    token would exceed 9 bytes). Trailing unterminated continuation bytes
-    are dropped — the walker hitting that truncation raises IndexError
-    exactly where the scalar reader would raise "truncated varint".
+    Total: apparent tokens from the boundary scan (terminator = byte <
+    0x80) of ≤9 bytes are genuine; longer runs — only produced by bit-63
+    values or corruption — are scalar-parsed via :func:`_run_tokens` and
+    spliced in, so the vectorized path survives occasional bit-63 diff
+    deltas (r4 verdict #5). Trailing unterminated continuation bytes of a
+    truncated varint are dropped — the walker hitting that truncation
+    raises IndexError exactly where the scalar reader would raise
+    "truncated varint".
     """
     b = np.frombuffer(data, dtype=np.uint8, count=len(data) - start,
                       offset=start)
@@ -93,47 +130,56 @@ def tokenize(data: bytes, start: int):
         return []
     ends = np.flatnonzero(b < 0x80)
     if ends.size == 0:
-        return None
-    if b.size - int(ends[-1]) - 1 >= 9:
-        # a trailing run of ≥9 continuation bytes may be a COMPLETE capped
-        # 9-byte varint whose raw 9th byte has bit 7 set (reader.go:52-59)
-        # — only the scalar reader can parse that
-        return None
+        # no terminator at all: only capped varints and/or truncation
+        return _run_tokens(b, 0, b.size)
+    tail: list[int] = []
+    nb = int(ends[-1]) + 1
+    if b.size - nb >= 9:
+        # a trailing terminator-free run of ≥9 bytes can hold COMPLETE
+        # capped 9-byte varints whose raw 9th byte has bit 7 set
+        # (reader.go:52-59) — parse them; only a <9-byte remainder is a
+        # genuinely truncated varint (dropped inside _run_tokens)
+        tail = _run_tokens(b, nb, b.size)
     starts = np.empty_like(ends)
     starts[0] = 0
     starts[1:] = ends[:-1] + 1
     lengths = ends - starts + 1
-    if int(lengths.max()) > 9:
-        return None
     last = b[ends]
     if int(lengths.max()) == 1:
         # common all-flags/small-index shape: b - 2*(b & 0x40)
         v = last.astype(np.int64)
-        return (v - ((v & 0x40) << 1)).tolist()
+        out = (v - ((v & 0x40) << 1)).tolist()
+        return out + tail if tail else out
     # Stream decode: each byte contributes its 7 payload bits at
     # 7*(position-within-token); np.add.reduceat sums per token segment
-    # (groups occupy disjoint bit ranges, so add == OR, no carry). The
-    # trailing unterminated run, if any, is clipped before the scan.
-    nb = ends[-1] + 1
+    # (groups occupy disjoint bit ranges, so add == OR, no carry).
+    # Segments longer than 9 bytes produce garbage here and are replaced
+    # by their scalar parse below (the shift clamp only keeps the
+    # garbage-lane arithmetic in-range).
+    bad = np.flatnonzero(lengths > 9)
     is_end = b[:nb] < 0x80
     # token_of(byte i) = terminators at-or-before i, minus 1 if i is itself
     # a terminator — i.e. cumsum(is_end) - is_end
     tok_of = np.cumsum(is_end)
     tok_of -= is_end
     pos_in_tok = np.arange(nb, dtype=np.int64) - starts[tok_of]
+    if bad.size:
+        np.minimum(pos_in_tok, 8, out=pos_in_tok)
     contrib = (b[:nb] & 0x7F).astype(np.uint64) << (
         np.uint64(7) * pos_in_tok.astype(np.uint64))
     vals = np.add.reduceat(contrib, starts)
-    nine = lengths == 9
-    if nine.any():
-        # 9th byte is RAW (reader.go:52-59): bit 7 lands on value bit 63
-        vals[nine] += (last[nine].astype(np.uint64)
-                       & np.uint64(0x80)) << np.uint64(56)
+    # a TOKENIZED 9-byte varint's raw 9th byte is the terminator, so its
+    # bit 7 is always 0 (bit-63 values merge into a `bad` segment instead)
+    # and the 0x7F mask above is a no-op on it — no extra 9-byte handling
     need_sign = ((last & 0x40) != 0) & (lengths < 9)
     # two's-complement sign extension: subtract 1 << 7L (mod 2^64)
     vals[need_sign] -= np.uint64(1) << (
         np.uint64(7) * lengths[need_sign].astype(np.uint64))
-    return vals.view(np.int64).tolist()
+    out = vals.view(np.int64).tolist()
+    for idx in bad[::-1].tolist():
+        out[idx:idx + 1] = _run_tokens(b, int(starts[idx]),
+                                       int(ends[idx]) + 1)
+    return out + tail if tail else out
 
 
 # --------------------------------------------------------------------------

@@ -22,22 +22,26 @@ model's sorted field order — it must change together with
 ``tests/test_projector.py`` (fast ≡ generic on fuzzed docs) and the
 full-fidelity roundtrip gate.
 
-Falls back to ``project_doc(decode(blob))`` whenever the region is not
-tokenizable; corrupt blobs surface as ``CodecError`` only (bounds-checked
-pool lookups, token exhaustion mapped to the scalar truncation error).
+``tokenize`` is total since r5 (bit-63 diff deltas and corrupt runs are
+scalar-parsed segment-locally inside the tokenizer), so there is no
+whole-blob fallback left; corrupt blobs surface as ``CodecError`` only
+(bounds-checked pool lookups, token exhaustion mapped to the scalar
+truncation error).
 
-Known asymmetry: pool pre-projection is EAGER — every pool entry is
-sliced, not only the entries a first event/link references. On
-pipeline-shaped data (probe always a dict, hops always a list) the two
-paths are pinned equal; a hostile blob whose never-referenced pool entry
-has e.g. a non-dict ``probe`` would crash here where the lazy generic
-path would not. Both are loud failures on malformed internal data, and
-the generic path remains authoritative.
+Pool pre-projection is eager for speed but LAZY in its failures (r4
+verdict #4): a wrong-shaped entry projects to a ``_BAD`` marker instead
+of raising, and the error fires only when a span actually references the
+entry — exactly when the generic path would fail. A hostile-but-decodable
+blob whose never-referenced pool entry is malformed therefore projects
+identically on both paths (pinned by ``TestWrongTypedPoolValues`` and the
+fuzz campaign's hostile-pool corpus). Marker references surface through
+the existing typed handler: unpacking ``_BAD`` raises ``TypeError`` →
+``CodecError``; scalar id sites check ``is _BAD`` explicitly.
 """
 
 from __future__ import annotations
 
-from ..codec.decoder import decode, decode_meta
+from ..codec.decoder import decode_meta
 from ..codec.definition import Definition
 from ..codec.tokdecode import _pool_fail, tokenize
 from ..codec.values import CodecError
@@ -131,6 +135,37 @@ def _hex_or_none(b):
     return b.hex() if b else None
 
 
+class _Bad:
+    """Marker for a pool entry whose projection failed; unpacking raises
+    TypeError into ``project_blob``'s typed handler, so the error fires
+    only on reference — matching the lazy generic path."""
+
+    __slots__ = ()
+    __iter__ = None
+
+
+_BAD = _Bad()
+
+
+def _bad_entry(path: str, idx: int):
+    raise CodecError(
+        f"decoded pools have unexpected shape: pool {path!r} entry {idx} "
+        "is not projectable")
+
+
+def _proj(entries, fn) -> list:
+    """Eagerly project a pool, deferring per-entry shape errors to the
+    first actual reference (``_BAD`` marker)."""
+    out = []
+    append = out.append
+    for e in entries:
+        try:
+            append(fn(e))
+        except (TypeError, AttributeError):
+            append(_BAD)
+    return out
+
+
 def _ev_attr_slice(a: dict) -> tuple:
     probe = a.get("probe") or {}
     hops = probe.get("hops")
@@ -145,15 +180,15 @@ def _link_slice(e: dict) -> tuple:
 
 
 def project_blob(raw: bytes, model: Definition) -> list[tuple]:
-    """Same rows as ``project_doc(decode(raw, model))``, fused."""
+    """Same rows as ``project_doc(decode(raw, model))``, fused.
+
+    ``tokenize`` is total (bit-63 diff deltas and corrupt runs are
+    scalar-parsed segment-locally), so there is no whole-blob fallback;
+    the generic path stays authoritative through the equality suites.
+    """
     _, vp, r = decode_meta(raw, model)
-    toks = tokenize(r.data, r.pos)
-    if toks is None:
-        # region not tokenizable (bit-63 diff delta or corruption):
-        # scalar tree decode + generic projection is authoritative
-        return project_doc(decode(raw, model))
     try:
-        return _project_tokens(toks, vp)
+        return _project_tokens(tokenize(r.data, r.pos), vp)
     except IndexError:
         raise CodecError("truncated data region") from None
     except (TypeError, AttributeError) as e:
@@ -165,21 +200,26 @@ def project_blob(raw: bytes, model: Definition) -> list[tuple]:
 
 def _project_tokens(toks, vp) -> list[tuple]:
     g = vp.get
-    res_proj = [((e.get("attributes") or {}).get("service.name"),
-                 (e.get("attributes") or {}).get("host.bucket"))
-                for e in g(_RES, ())]
-    scope_proj = [(e.get("name"), e.get("version")) for e in g(_SCOPE, ())]
-    attrs_proj = [(a.get("http.url"), a.get("lang"),
-                   a.get("http.status_code"), a.get("n_chars"))
-                  for a in g(_ATTRS, ())]
-    status_proj = [(e.get("message"), e.get("code")) for e in g(_STATUS, ())]
-    tid_hex = [_hex_or_none(b) for b in g("traceId", ())]
-    sid_hex = [_hex_or_none(b) for b in g("spanId", ())]
+    res_proj = _proj(g(_RES, ()),
+                     lambda e: ((e.get("attributes") or {})
+                                .get("service.name"),
+                                (e.get("attributes") or {})
+                                .get("host.bucket")))
+    scope_proj = _proj(g(_SCOPE, ()),
+                       lambda e: (e.get("name"), e.get("version")))
+    attrs_proj = _proj(g(_ATTRS, ()),
+                       lambda a: (a.get("http.url"), a.get("lang"),
+                                  a.get("http.status_code"),
+                                  a.get("n_chars")))
+    status_proj = _proj(g(_STATUS, ()),
+                        lambda e: (e.get("message"), e.get("code")))
+    tid_hex = _proj(g("traceId", ()), _hex_or_none)
+    sid_hex = _proj(g("spanId", ()), _hex_or_none)
     tstate_pool = g("traceState", ())
     name_pool = g(_NAME, ())
     ev_name_pool = g(_EV_NAME, ())
-    ev_attrs_proj = [_ev_attr_slice(a) for a in g(_EV_ATTRS, ())]
-    link_proj = [_link_slice(e) for e in g(_LINKS, ())]
+    ev_attrs_proj = _proj(g(_EV_ATTRS, ()), _ev_attr_slice)
+    link_proj = _proj(g(_LINKS, ()), _link_slice)
 
     rows: list[tuple] = []
     append = rows.append
@@ -321,6 +361,8 @@ def _project_tokens(toks, vp) -> list[tuple]:
                         x = toks[i]; i += 1
                         if 0 <= x < len(sid_hex):
                             pside = sid_hex[x]
+                            if pside is _BAD:
+                                _bad_entry("spanId", x)
                         else:
                             _pool_fail("spanId", x, vp)
                     if toks[i] == 0:                # spanId
@@ -330,6 +372,8 @@ def _project_tokens(toks, vp) -> list[tuple]:
                         x = toks[i]; i += 1
                         if 0 <= x < len(sid_hex):
                             side = sid_hex[x]
+                            if side is _BAD:
+                                _bad_entry("spanId", x)
                         else:
                             _pool_fail("spanId", x, vp)
                     v = toks[i]; i += 1             # startTimeUnixNano (diff)
@@ -345,6 +389,8 @@ def _project_tokens(toks, vp) -> list[tuple]:
                     x = toks[i]; i += 1             # traceId
                     if 0 <= x < len(tid_hex):
                         tid = tid_hex[x]
+                        if tid is _BAD:
+                            _bad_entry("traceId", x)
                     else:
                         _pool_fail("traceId", x, vp)
                     if toks[i] == 0:                # traceState

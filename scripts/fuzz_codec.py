@@ -1,10 +1,16 @@
 """Offline codec fuzz campaign (not part of pytest — minutes, not seconds).
 
-Three properties over randomized trace documents:
+Four properties over randomized trace documents:
 
 1. token fast-path decode ≡ scalar closure-plan decode
 2. fused projector ≡ generic tree projection
-3. byte-flip corruption surfaces ONLY CodecError (or succeeds) through
+3. hostile pools: wrong-shaped free-map values (non-dict probe,
+   non-iterable hops) in positions the generic projection never touches
+   must project identically on both paths (r4 verdict #4 — the fast
+   path's eager pre-projection defers shape errors to first reference),
+   and the same poison in a REFERENCED position must raise CodecError on
+   both paths
+4. byte-flip corruption surfaces ONLY CodecError (or succeeds) through
    decode AND projection — the r4 campaign found one escape this way (a
    flipped free-value type tag decodes fine but projected as TypeError)
 
@@ -74,6 +80,43 @@ def main() -> int:
         assert project_blob(blob, m) == project_doc(scalar), \
             f"projection mismatch at doc {trial}"
     print(f"equality: {n_docs} docs, fast==scalar and fused==generic")
+
+    # every poison must fail projection when referenced: non-dict probe
+    # (.get raises) or non-iterable hops (join raises)
+    poisons = (5, {"hops": 7}, "str-probe", [1, 2], 2.5)
+    hrng = np.random.default_rng(7)
+    n_hostile = max(200, n_docs // 5)
+    for trial in range(n_hostile):
+        doc = random_doc(hrng)
+        spans = doc["resourceSpans"][0]["scopeSpans"][0]["spans"]
+        if not spans:
+            continue
+        sp = spans[int(hrng.integers(0, len(spans)))]
+        poison = poisons[int(hrng.integers(0, len(poisons)))]
+        referenced = bool(hrng.integers(0, 2))
+        bad_ev = {"timeUnixNano": 2, "name": "g",
+                  "attributes": {"probe": poison},
+                  "droppedAttributesCount": None}
+        ok_ev = {"timeUnixNano": 1, "name": "f",
+                 "attributes": {"phase": "connect"},
+                 "droppedAttributesCount": None}
+        sp["events"] = [bad_ev] if referenced else [ok_ev, bad_ev]
+        blob = encode(doc, m)
+        if referenced:
+            for fn in (lambda b: project_blob(b, m),
+                       lambda b: project_doc(D.decode(b, m))):
+                try:
+                    fn(blob)
+                    raise AssertionError(
+                        f"hostile doc {trial}: referenced poison "
+                        f"{poison!r} did not raise")
+                except CodecError:
+                    pass
+        else:
+            assert project_blob(blob, m) == project_doc(D.decode(blob, m)), \
+                f"hostile doc {trial}: unreferenced poison diverged"
+    print(f"hostile pools: {n_hostile} docs, fused==generic incl. "
+          "referenced-poison CodecError parity")
 
     crng = np.random.default_rng(123)
     bad = total = 0

@@ -110,11 +110,15 @@ class TestProjectorEquality:
         assert len(fast) == 18
         assert {r[27] for r in fast} == {"svc0", "svc1", "svc2"}
 
-    def test_bit63_delta_falls_back_to_generic(self):
+    def test_bit63_delta_stays_on_fast_path(self):
+        """A ≤ -2^55 diff delta (capped varint, raw 9th byte bit 7 set)
+        used to force the whole blob onto the scalar path; since r5 the
+        tokenizer scalar-parses just that segment and the fused walk
+        continues — values must still match the generic path exactly."""
         doc = _mkdoc(2)
         spans = doc["resourceSpans"][0]["scopeSpans"][0]["spans"]
         spans[0]["startTimeUnixNano"] = 2 ** 60
-        spans[1]["startTimeUnixNano"] = 0  # delta -2^60 → untokenizable
+        spans[1]["startTimeUnixNano"] = 0  # delta -2^60: bit-63 varint
         fast, generic = _both(doc)
         assert fast == generic
         assert fast[0][8] == 2 ** 60 and fast[1][8] == 0
@@ -181,6 +185,50 @@ class TestWrongTypedPoolValues:
         sp["events"] = [{"timeUnixNano": 1, "name": "f",
                          "attributes": {"probe": 5},
                          "droppedAttributesCount": None}]
+        blob = encode(doc, m)
+        with pytest.raises(CodecError, match="unexpected shape"):
+            project_blob(blob, m)
+        with pytest.raises(CodecError, match="unexpected shape"):
+            project_doc(decode(blob, m))
+
+    @pytest.mark.parametrize("poison", [5, {"hops": 7}])
+    def test_unreferenced_bad_pool_entry_projects_on_both_paths(
+            self, poison):
+        """r4 verdict #4: a wrong-shaped pool entry that NO projected
+        position references (here: a non-first event's attributes, which
+        the generic path never touches) must project identically on both
+        paths — the fast path's eager pre-projection defers the shape
+        error to first reference (_BAD marker) instead of failing the
+        whole blob."""
+        m = trace_model()
+        doc = _mkdoc(3)
+        sp = doc["resourceSpans"][0]["scopeSpans"][0]["spans"][0]
+        sp["events"] = [
+            {"timeUnixNano": 1, "name": "f",
+             "attributes": {"phase": "connect"},
+             "droppedAttributesCount": None},
+            {"timeUnixNano": 2, "name": "g",
+             "attributes": {"probe": poison},
+             "droppedAttributesCount": None},
+        ]
+        blob = encode(doc, m)
+        fast = project_blob(blob, m)
+        generic = project_doc(decode(blob, m))
+        assert fast == generic
+        assert fast[0][17] == 2  # both events counted
+
+    @pytest.mark.parametrize("poison", [5, {"hops": 7}])
+    def test_referenced_bad_pool_entry_still_raises(self, poison):
+        """The same wrong-shaped entry in the FIRST (projected) event must
+        keep failing the typed way on both paths."""
+        m = trace_model()
+        doc = _mkdoc(3)
+        sp = doc["resourceSpans"][0]["scopeSpans"][0]["spans"][0]
+        sp["events"] = [
+            {"timeUnixNano": 1, "name": "f",
+             "attributes": {"probe": poison},
+             "droppedAttributesCount": None},
+        ]
         blob = encode(doc, m)
         with pytest.raises(CodecError, match="unexpected shape"):
             project_blob(blob, m)

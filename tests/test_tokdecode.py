@@ -1,10 +1,11 @@
 """Vectorized token-stream decode fast path (codec/tokdecode.py).
 
 The fast path must be byte-for-byte semantics-identical to the scalar
-reader: stage 1 (tokenize) against decode_sleb128, stage 2 (generated
-walker) against the closure-tree plan, plus the fallback contract for the
-one wire shape the boundary scan cannot represent (capped 9-byte varints
-whose raw 9th byte carries bit 7 — reader.go:52-59).
+reader: stage 1 (tokenize) against decode_sleb128 — TOTAL since r5,
+including the one wire shape the boundary scan cannot split (capped
+9-byte varints whose raw 9th byte carries bit 7 — reader.go:52-59, now
+scalar-parsed segment-locally) — and stage 2 (generated walker) against
+the closure-tree plan.
 """
 
 import numpy as np
@@ -22,6 +23,7 @@ from compress_otel_collector_spark.codec.tokdecode import (
 )
 from compress_otel_collector_spark.codec.values import CodecError
 from compress_otel_collector_spark.codec.varint import (
+    INT64_MIN,
     decode_sleb128,
     encode_sleb128,
 )
@@ -39,16 +41,12 @@ class TestTokenize:
     @given(st.lists(st.integers(min_value=-(2 ** 63), max_value=2 ** 63 - 1),
                     min_size=0, max_size=60))
     @settings(max_examples=300, deadline=None)
-    def test_matches_scalar_or_falls_back(self, vals):
+    def test_matches_scalar_always(self, vals):
+        """tokenize is TOTAL (r5): the full int64 domain — including
+        bit-63 values whose capped 9th raw byte reads as a continuation
+        byte — must parse identically to the scalar reader."""
         data = b"".join(encode_sleb128(v) for v in vals)
-        toks = tokenize(data, 0)
-        if toks is None:
-            # fallback is only legal when some token needs the raw-9th-byte
-            # form with bit 7 set (value with bit 63 set)
-            assert any(len(encode_sleb128(v)) == 9
-                       and encode_sleb128(v)[8] >= 0x80 for v in vals)
-        else:
-            assert toks == _scalar_stream(data)
+        assert tokenize(data, 0) == _scalar_stream(data)
 
     def test_exact_values_across_lengths(self):
         vals = [0, 1, -1, 63, -64, 64, -65, 8191, -8192,
@@ -62,15 +60,31 @@ class TestTokenize:
         data = b"\xff\xff" + encode_sleb128(300) + encode_sleb128(-7)
         assert tokenize(data, 2) == [300, -7]
 
-    def test_final_capped_varint_with_high_ninth_byte_falls_back(self):
+    def test_final_capped_varint_with_high_ninth_byte(self):
+        """A trailing ≥9-byte terminator-free run holds a complete capped
+        varint (bit 63 set) — parsed scalar, not rejected (r5)."""
         v = -(2 ** 56) + 123  # 9-byte encoding, 9th raw byte = 0xFF
         enc = encode_sleb128(v)
         assert len(enc) == 9 and enc[8] >= 0x80
-        assert tokenize(encode_sleb128(5) + enc, 0) is None
+        assert tokenize(encode_sleb128(5) + enc, 0) == [5, v]
 
-    def test_mid_stream_capped_varint_merges_and_falls_back(self):
+    def test_mid_stream_capped_varint_merges_and_resumes(self):
+        """A bit-63 varint merges with following tokens in the boundary
+        scan; the segment is scalar-parsed and the stream resumes — only
+        that segment pays the scalar cost (r5 split-at-offset resume)."""
         v = -(2 ** 56) + 123
-        assert tokenize(encode_sleb128(v) + encode_sleb128(1), 0) is None
+        assert tokenize(encode_sleb128(v) + encode_sleb128(1), 0) == [v, 1]
+        mixed = [7, v, -v, 1, v, 0, 2 ** 62, -(2 ** 55) - 1, 3]
+        data = b"".join(encode_sleb128(x) for x in mixed)
+        assert tokenize(data, 0) == mixed
+
+    def test_capped_varint_chain_inside_one_segment(self):
+        """Consecutive bit-63 varints form ONE long merged segment; the
+        scalar resume must consume capped 9-byte chunks until it lands
+        exactly on the segment terminator."""
+        vals = [-(2 ** 56) + 1, -(2 ** 60) - 5, INT64_MIN, 42]
+        data = b"".join(encode_sleb128(x) for x in vals)
+        assert tokenize(data, 0) == vals
 
     def test_trailing_truncated_varint_is_clipped(self):
         # <9 trailing continuation bytes = a genuinely truncated varint; the
@@ -81,7 +95,12 @@ class TestTokenize:
 
     def test_empty_and_all_continuation(self):
         assert tokenize(b"", 0) == []
-        assert tokenize(b"\x80" * 4, 0) is None
+        # <9 continuation bytes, no terminator: one truncated varint —
+        # dropped, so the walker raises where the scalar reader would
+        assert tokenize(b"\x80" * 4, 0) == []
+        # 9 continuation bytes = one COMPLETE capped varint (raw 9th byte
+        # 0x80 → bit 63 set)
+        assert tokenize(b"\x80" * 9, 0) == _scalar_stream(b"\x80" * 9)
 
 
 SPAN_TS = 1_700_000_000_000_000_000
