@@ -350,33 +350,58 @@ def spans_columns_to_proto(
                 c, _kv_cached(9, "n_chars", "int", int(c))))
         for u, c in zip(url, (int(x) for x in n_chars))
     ]
-    # events / links: sparse; cached non-varying suffixes + per-row times/ids
+    # events / links: sparse; suffixes (everything but the per-row
+    # time/ids) cached two-level — an id()-keyed fast map first (the
+    # pipeline shares ONE attrs dict across rows, so freezing per row is
+    # pure overhead; ids are stable here because the event/link dicts
+    # stay referenced by the input arrays for the whole call), then the
+    # content-keyed map for callers with per-row dicts
     t11, t13 = _tag(11, 2), _tag(13, 2)
     ev_suffix_cache: dict = {}
+    ev_id_cache: dict = {}
 
     def _events_piece(evs) -> bytes:
-        if not evs:
-            return b""
         out = b""
         for e in evs:
-            key = (e.get("name"), _freeze_attrs(e.get("attributes")),
-                   e.get("droppedAttributesCount") or 0)
-            suffix = ev_suffix_cache.get(key)
+            a = e.get("attributes")
+            dac = e.get("droppedAttributesCount") or 0
+            nm = e.get("name")
+            ik = (nm, id(a), dac)
+            suffix = ev_id_cache.get(ik)
             if suffix is None:
-                suffix = (_f_str(2, e.get("name"))
-                          + _attributes(3, e.get("attributes"))
-                          + _f_varint(4, key[2]))
-                ev_suffix_cache[key] = suffix
+                key = (nm, _freeze_attrs(a), dac)
+                suffix = ev_suffix_cache.get(key)
+                if suffix is None:
+                    suffix = (_f_str(2, nm) + _attributes(3, a)
+                              + _f_varint(4, dac))
+                    ev_suffix_cache[key] = suffix
+                ev_id_cache[ik] = suffix
             payload = _f_fixed64(1, e.get("timeUnixNano") or 0) + suffix
             out += t11 + _v(len(payload)) + payload
         return out
 
+    lk_suffix_cache: dict = {}
+    lk_id_cache: dict = {}
+
     def _links_piece(lns) -> bytes:
-        if not lns:
-            return b""
         out = b""
         for ln in lns:
-            payload = _link(ln)
+            a = ln.get("attributes")
+            dac = ln.get("droppedAttributesCount") or 0
+            ts = ln.get("traceState")
+            ik = (ts, id(a), dac)
+            suffix = lk_id_cache.get(ik)
+            if suffix is None:
+                key = (ts, _freeze_attrs(a), dac)
+                suffix = lk_suffix_cache.get(key)
+                if suffix is None:
+                    # same field order as _link: state=3 attrs=4 dropped=5
+                    suffix = (_f_str(3, ts) + _attributes(4, a)
+                              + _f_varint(5, dac))
+                    lk_suffix_cache[key] = suffix
+                lk_id_cache[ik] = suffix
+            payload = (_f_bytes(1, ln.get("traceId"))
+                       + _f_bytes(2, ln.get("spanId")) + suffix)
             out += t13 + _v(len(payload)) + payload
         return out
 
@@ -390,21 +415,23 @@ def spans_columns_to_proto(
         _status_cached(m, int(c))
         for m, c in zip(status_message, status_code)
     ]
+    # flat-list assembly: one append per piece + ONE join, instead of a
+    # 10-way bytes concat per span (which allocated an intermediate
+    # ~150 B object per span before the join re-copied it)
     t_span = _tag(2, 2)
-    spans_b = b"".join(
-        t_span + _v(
-            len(idp) + len(tsp) + len(nmp) + len(kp) + len(tp) + len(ap)
-            + len(evp) + len(lkp) + len(dlp) + len(stp))
-        + idp + tsp + nmp + kp + tp + ap
-        + evp + lkp + dlp + stp
-        for idp, tsp, nmp, kp, tp, ap, evp, lkp, dlp, stp in zip(
+    flat: list = []
+    ap = flat.append
+    for idp, tsp, nmp, kp, tp, atp, evs, lns, dlp, stp in zip(
             id_pieces, ts_pieces, name_pieces, kind_pieces, time_pieces,
-            attr_pieces,
-            (_events_piece(e) for e in events),
-            (_links_piece(l) for l in links),
-            dl_pieces, status_pieces,
-        )
-    )
+            attr_pieces, events, links, dl_pieces, status_pieces):
+        evp = _events_piece(evs) if evs is not None and len(evs) else b""
+        lkp = _links_piece(lns) if lns is not None and len(lns) else b""
+        ap(t_span)
+        ap(_v(len(idp) + len(tsp) + len(nmp) + len(kp) + len(tp)
+              + len(atp) + len(evp) + len(lkp) + len(dlp) + len(stp)))
+        ap(idp); ap(tsp); ap(nmp); ap(kp); ap(tp); ap(atp)
+        ap(evp); ap(lkp); ap(dlp); ap(stp)
+    spans_b = b"".join(flat)
     return _wrap_resource_group(spans_b, resource_attrs, scope, schema_url)
 
 
