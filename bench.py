@@ -29,14 +29,17 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
-def make_spark(cores: int, task_cpus: int = 1):
+def make_spark(cores: int, task_cpus: int = 1,
+               shuffle_partitions: int | None = None):
     from pyspark.sql import SparkSession
 
     return (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(f"bench-{cores}")
         .config("spark.sql.shuffle.partitions",
-                str(max(cores * 4 // task_cpus, 4)))
+                str(shuffle_partitions
+                    if shuffle_partitions else
+                    max(cores * 4 // task_cpus, 4)))
         .config("spark.task.cpus", str(task_cpus))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
@@ -77,7 +80,8 @@ def materialize_pages(spark, n_pages: int, realistic: bool = False) -> str:
 
 def run_pipeline_synth(spark, n_pages: int, arms: bool = True,
                        n_salts: int = 8, realistic: bool = False,
-                       events_every: int = 10):
+                       events_every: int = 10,
+                       shuffle_partitions: int | None = None):
     """parse→enrich→encode→aggregate over n synthetic pages; returns
     (seconds, pages, ratio dict). Timed from the parquet scan."""
     from pyspark.sql import functions as F
@@ -94,8 +98,10 @@ def run_pipeline_synth(spark, n_pages: int, arms: bool = True,
     t0 = time.time()
     enriched = enrich_stage(parse_stage(pages), spark)
     agg = aggregate_stage(encode_pages(enriched, n_salts=n_salts, arms=arms,
-                                       events_every=events_every))
+                                       events_every=events_every,
+                                       shuffle_partitions=shuffle_partitions))
     row = agg.agg(
+        F.sum("blobs").alias("blobs"),
         F.sum("pages").alias("pages"),
         F.sum("raw_bytes").alias("raw"),
         F.sum("zstd_bytes").alias("zstd"),
@@ -106,6 +112,7 @@ def run_pipeline_synth(spark, n_pages: int, arms: bool = True,
     ).collect()[0]
     dt = time.time() - t0
     ratios = {
+        "blobs": int(row["blobs"]),
         "raw_bytes": int(row["raw"]),
         "zstd_bytes": int(row["zstd"]),
         "gzip_bytes": int(row["gzip"] or -1),
@@ -188,8 +195,23 @@ def run_headline_queries(spark, sf_dir: str) -> dict[str, float]:
                  for name, rs in runs.items()}
 
 
+#: Fixed reduce-partition count for the scaling levels. On a real cluster
+#: the shuffle partition count is a function of DATA VOLUME (AQE's
+#: advisory partition size against the exchange bytes), not of cluster
+#: size — the same 100 TB input shuffles into the same ~N partitions
+#: whether 250 or 1000 executors drain them. Round 4 let the partition
+#: count track core count (4 at the 1-slot level vs 16 at 4 slots), which
+#: made the two levels run DIFFERENT physical plans: fewer partitions ⇒
+#: more route groups per reduce task ⇒ fewer, larger blobs ⇒ less
+#: per-blob overhead — a workload advantage for the small level that read
+#: as "poor scaling" (0.815). Fixing the layout makes slot count the only
+#: variable, which is exactly what the two-cluster-size rule varies.
+SCALING_PARTITIONS = 16
+
+
 def scaling_runs(n_pages: int, visits: int = 5):
-    """Same job, same input, N vs 4N *executor slots* + saturated headline.
+    """Same job, same input, SAME partition layout — N vs 4N *executor
+    slots* + saturated headline.
 
     Executor model: one slot = ``spark.task.cpus=2`` = 1 JVM task thread +
     1 Python codec worker — exactly what one 2-core executor owns on a real
@@ -198,6 +220,13 @@ def scaling_runs(n_pages: int, visits: int = 5):
     is the only variable. (Plain local-mode core counts are a biased proxy:
     a 2-thread job borrows idle host cores for GC/IO/Python, inflating the
     small-N number — the slot model removes that.)
+
+    Both levels run the identical physical plan: the keyed exchange is
+    pinned to ``SCALING_PARTITIONS`` reduce partitions (data-sized, as AQE
+    would size it at 100 TB — see the constant's note), so every task at
+    both levels processes the same partitions and emits byte-identical
+    blobs; only how many run concurrently differs. 16 partitions = 16
+    waves of 1 at the small level, 4 waves of 4 at the large one.
 
     Host thermal/throttle drift dominated the r1 measurement (sequential
     blocks → the later level ran on a slower host). This version runs the
@@ -209,8 +238,9 @@ def scaling_runs(n_pages: int, visits: int = 5):
     """
     import statistics
 
-    spark = make_spark(CPUS)  # materialize the input once, well-partitioned
+    spark = make_spark(CPUS)  # materialize the inputs once, well-partitioned
     materialize_pages(spark, n_pages)
+    materialize_pages(spark, max(n_pages // 4, 1))  # warm-up input
     spark.stop()
     time.sleep(2)
 
@@ -220,11 +250,19 @@ def scaling_runs(n_pages: int, visits: int = 5):
     }
     thr: dict[str, list[float]] = {label: [] for label in levels}
 
-    def one_visit(cores, task_cpus):
-        spark = make_spark(cores, task_cpus=task_cpus)
+    def one_visit(cores, task_cpus, warm_pages=None):
+        spark = make_spark(cores, task_cpus=task_cpus,
+                           shuffle_partitions=SCALING_PARTITIONS)
         try:
-            run_pipeline_synth(spark, n_pages, arms=False)  # warm (JIT)
-            dt, pages, _ = run_pipeline_synth(spark, n_pages, arms=False)
+            # warm-up covers the one-time costs (JIT, Python worker fork,
+            # parquet footers); a quarter-size pass is enough for that and
+            # keeps the 1-slot visits affordable at 4M pages
+            run_pipeline_synth(spark, warm_pages or max(n_pages // 4, 1),
+                               arms=False,
+                               shuffle_partitions=SCALING_PARTITIONS)
+            dt, pages, _ = run_pipeline_synth(
+                spark, n_pages, arms=False,
+                shuffle_partitions=SCALING_PARTITIONS)
             return pages / dt
         finally:
             spark.stop()
@@ -240,6 +278,7 @@ def scaling_runs(n_pages: int, visits: int = 5):
         results[label] = {
             "cores": cores,
             "slots": slots,
+            "pages": n_pages,
             "pages_per_sec": round(med, 1),
             "sec": round(n_pages / med, 2),
             "runs": [round(t, 1) for t in thr[label]],
@@ -258,6 +297,34 @@ def scaling_runs(n_pages: int, visits: int = 5):
     return results, eff
 
 
+def partition_mechanism(n_pages: int = 1_000_000):
+    """Measure the round-4 scaling artifact directly: the SAME pipeline at
+    the SAME parallelism (local[32]) with the keyed exchange pinned to 4
+    vs 16 reduce partitions — the layouts the r4 harness gave the 1-slot
+    and 4-slot levels. Reports blobs + compressed bytes per layout: fewer
+    partitions ⇒ more route groups per reduce task ⇒ fewer, larger blobs
+    (per-blob header/pool overhead amortizes further). That is a workload
+    difference between the levels, not a scalability property, and it is
+    what depressed the r4 efficiency reading.
+    """
+    out = {}
+    spark = make_spark(CPUS)
+    try:
+        materialize_pages(spark, n_pages)
+        run_pipeline_synth(spark, n_pages, arms=False)  # warm
+        for parts in (4, 16):
+            dt, pages, ratios = run_pipeline_synth(
+                spark, n_pages, arms=False, shuffle_partitions=parts)
+            out[parts] = {
+                "blobs": ratios["blobs"],
+                "zstd_bytes": ratios["zstd_bytes"],
+                "sec": round(dt, 2),
+            }
+    finally:
+        spark.stop()
+    return out
+
+
 def _arms_table(ratios, pages):
     rows = [
         ("custom codec (raw)", "raw_bytes"),
@@ -274,8 +341,31 @@ def _arms_table(ratios, pages):
     return "\n".join(lines)
 
 
+def _mechanism_md(mech):
+    """Markdown paragraph quantifying the r4 partition-layout artifact
+    (``partition_mechanism``); empty string when not measured."""
+    if not mech:
+        return ""
+    m4, m16 = mech[4], mech[16]
+    return f"""### Why round 4 read 0.815: the partition-layout artifact, measured
+
+Round 4 let the reduce-partition count track core count (4 partitions at
+the 1-slot level vs 16 at 4 slots), so the two levels ran different
+physical plans. Measured at the SAME parallelism (local[{CPUS}], 1M
+pages, one session): 4 partitions → **{m4['blobs']} blobs /
+{m4['zstd_bytes']:,} zstd bytes**, 16 partitions → **{m16['blobs']} blobs
+/ {m16['zstd_bytes']:,} zstd bytes**. Fewer partitions concentrate more
+route groups per reduce task, so blobs grow larger and per-blob
+header/pool overhead amortizes further — a workload advantage the r4
+harness handed only to the small level, depressing the ratio. With the
+layout pinned (table above) both levels emit byte-identical blobs and the
+artifact is gone; this is also the faithful 100 TB model, where partition
+count is data-sized, not cluster-sized.
+"""
+
+
 def write_baseline_md(results, eff, pipeline_sec, pages, ratios,
-                      ratios_real):
+                      ratios_real, mech=None):
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(f"""# BENCH/BASELINE — measured results
@@ -328,18 +418,25 @@ custom+zstd / ArrowIPC+zstd = **{ratios_real['zstd_vs_arrow_zstd_ratio']}**
 
 ## Scaling efficiency (north_rule: ≥0.8 between N and 4N)
 
-Sandbox proxy for two cluster sizes: identical job + identical input at
-N=1 vs 4N=4 **executor slots**, where one slot = `spark.task.cpus=2` =
-1 JVM task thread + 1 Python codec worker — what a 2-core executor owns on
-a real cluster. Both levels leave the 32-core host unsaturated, so slot
-count is the only variable (plain local-mode core counts are a biased
-proxy: a 2-thread job freely borrows idle host cores for GC/shuffle-IO/
-Python, inflating the small-N number). The two levels run **interleaved
-ABAB across {len(results['1_executor']['runs'])} fresh sessions each**
-(one warm-up + one measured run per session) so host thermal/throttle
-drift hits both equally; medians of the measured runs, all runs shown.
-local[32] (plain) is the saturated-host headline, measured last under the
-same session discipline.
+Sandbox proxy for two cluster sizes: identical job + identical input +
+**identical partition layout** at N=1 vs 4N=4 **executor slots**, where one
+slot = `spark.task.cpus=2` = 1 JVM task thread + 1 Python codec worker —
+what a 2-core executor owns on a real cluster. Both levels leave the
+32-core host unsaturated, so slot count is the only variable (plain
+local-mode core counts are a biased proxy: a 2-thread job freely borrows
+idle host cores for GC/shuffle-IO/Python, inflating the small-N number).
+The keyed exchange is pinned to {SCALING_PARTITIONS} reduce partitions at
+BOTH levels — on a real cluster the partition count is a function of data
+volume (AQE advisory size), not of cluster size, so the same input
+shuffles into the same layout regardless of executor count; every task
+emits byte-identical blobs at both levels and only the concurrency
+differs. The two levels run **interleaved ABAB across
+{len(results['1_executor']['runs'])} fresh sessions each** (one warm-up +
+one measured run per session) so host thermal/throttle drift hits both
+equally; medians of the measured runs, all runs shown. local[32] (plain)
+is the saturated-host headline, measured last under the same session
+discipline. Input: {results['1_executor'].get('pages', 'see table'):,} pages —
+4× round 4's, per the r4 re-proof requirement.
 
 | level | cores | slots | sec | pages/sec | runs |
 |---|---|---|---|---|---|
@@ -350,6 +447,7 @@ same session discipline.
 **efficiency (N → 4N executors) = (thr_4 / thr_1) / 4 = {eff}**
 {'✅ meets' if eff >= 0.8 else '⚠️ below'} the ≥0.8 target.
 
+{_mechanism_md(mech)}
 Why this holds at 1000 executors: the job is a narrow scan → one keyed
 exchange (salted against the mega-host skew) → partition-local encode →
 partition-aligned write; there is no global state, no driver-side loop, and
@@ -406,14 +504,17 @@ def main():
         "cores": CPUS,
     }
     if scaling:
-        # larger input for scaling: amortizes the ~2.5 s of per-run serial
-        # work (job setup, footer reads, final agg) that otherwise caps
-        # measured efficiency via Amdahl at small inputs
-        results, eff = scaling_runs(max(N_SYNTH, 2_000_000))
+        # larger input for scaling (4M pages): amortizes the ~2.5 s of
+        # per-run serial work (job setup, footer reads, final agg) that
+        # otherwise caps measured efficiency via Amdahl at small inputs
+        mech = partition_mechanism(N_SYNTH)
+        results, eff = scaling_runs(max(4 * N_SYNTH, 4_000_000))
         result["scaling"] = {str(k): v for k, v in results.items()}
         result["scaling_efficiency_n_to_4n"] = eff  # N=2 cores vs 4N=8
+        result["scaling_partition_mechanism"] = {
+            str(k): v for k, v in mech.items()}
         write_baseline_md(results, eff, pipe_sec, pages, ratios,
-                          ratios_real)
+                          ratios_real, mech)
     print(json.dumps(result))
 
 

@@ -22,9 +22,16 @@ from functools import lru_cache
 from .values import CodecError
 
 
+#: single-byte varints (n < 128) — the overwhelmingly common case for
+#: tags and length prefixes; avoids a bytearray round-trip per call
+_VARINT1 = tuple(bytes([n]) for n in range(128))
+
+
 def _varint(n: int) -> bytes:
     """Unsigned LEB128 (protobuf varint). Negative int64 values are encoded
     as their two's-complement uint64 (10 bytes), per proto3 int64."""
+    if 0 <= n < 128:
+        return _VARINT1[n]
     if n < 0:
         n &= (1 << 64) - 1
     out = bytearray()
@@ -38,6 +45,7 @@ def _varint(n: int) -> bytes:
             return bytes(out)
 
 
+@lru_cache(maxsize=1024)
 def _tag(field: int, wire: int) -> bytes:
     return _varint((field << 3) | wire)
 
