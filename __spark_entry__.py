@@ -1264,12 +1264,11 @@ def oracle_sql() -> dict[str, str]:
         # (ties: doc_id, then unit index) — mirrors operators.dedup
         # .subdoc_dedup exactly, incl. empty-token filtering via _TOKS_CTE
         "dedup_subdoc": _TOKS_CTE + """
-            , c AS (SELECT doc_id, len(t) AS nt, i AS ui,
-                           array_to_string(t[(i*8+1):((i+1)*8)], ' ')
+            , c AS (SELECT doc_id, len(t) AS nt, u.i AS ui,
+                           array_to_string(t[(u.i*8+1):((u.i+1)*8)], ' ')
                                AS unit
-                    FROM toks
-                    CROSS JOIN (SELECT unnest(range(0, 4096)) AS i)
-                    WHERE i*8 < len(t))
+                    FROM toks, unnest(range(0,
+                        CAST(ceil(len(t) / 8.0) AS BIGINT))) AS u(i))
             , r AS (SELECT doc_id, ui, unit,
                            row_number() OVER (
                                PARTITION BY md5(unit)

@@ -250,19 +250,17 @@ def scaling_runs(n_pages: int, visits: int = 5):
     }
     thr: dict[str, list[float]] = {label: [] for label in levels}
 
-    def one_visit(cores, task_cpus, warm_pages=None):
+    def one_visit(cores, task_cpus, parts=SCALING_PARTITIONS):
         spark = make_spark(cores, task_cpus=task_cpus,
-                           shuffle_partitions=SCALING_PARTITIONS)
+                           shuffle_partitions=parts)
         try:
             # warm-up covers the one-time costs (JIT, Python worker fork,
             # parquet footers); a quarter-size pass is enough for that and
             # keeps the 1-slot visits affordable at 4M pages
-            run_pipeline_synth(spark, warm_pages or max(n_pages // 4, 1),
-                               arms=False,
-                               shuffle_partitions=SCALING_PARTITIONS)
-            dt, pages, _ = run_pipeline_synth(
-                spark, n_pages, arms=False,
-                shuffle_partitions=SCALING_PARTITIONS)
+            run_pipeline_synth(spark, max(n_pages // 4, 1), arms=False,
+                               shuffle_partitions=parts)
+            dt, pages, _ = run_pipeline_synth(spark, n_pages, arms=False,
+                                              shuffle_partitions=parts)
             return pages / dt
         finally:
             spark.stop()
@@ -283,10 +281,14 @@ def scaling_runs(n_pages: int, visits: int = 5):
             "sec": round(n_pages / med, 2),
             "runs": [round(t, 1) for t in thr[label]],
         }
-    sat = one_visit(CPUS, 1)
+    # saturated headline is PLAIN local[32] — default (data×core-sized)
+    # partitions, not the pinned scaling layout, so it measures what the
+    # host can actually do and stays comparable across rounds
+    sat = one_visit(CPUS, 1, parts=None)
     results["local32_saturated"] = {
         "cores": CPUS,
         "slots": CPUS,
+        "pages": n_pages,
         "pages_per_sec": round(sat, 1),
         "sec": round(n_pages / sat, 2),
         "runs": [round(sat, 1)],
@@ -365,7 +367,11 @@ count is data-sized, not cluster-sized.
 
 
 def write_baseline_md(results, eff, pipeline_sec, pages, ratios,
-                      ratios_real, mech=None):
+                      ratios_real, mech=None, notes: str = ""):
+    """Regenerates BENCH/BASELINE.md in full. ``notes`` is extra markdown
+    (e.g. a measurement-anomaly disclosure) appended after the scaling
+    table — pass it when re-emitting the file so hand annotations are not
+    silently erased by the next ``--scaling`` run."""
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(f"""# BENCH/BASELINE — measured results
@@ -445,9 +451,12 @@ discipline. Input: {results['1_executor'].get('pages', 'see table'):,} pages —
 | saturated host | 32 | 32 | {results['local32_saturated']['sec']} | {results['local32_saturated']['pages_per_sec']:,} | {results['local32_saturated']['runs']} |
 
 **efficiency (N → 4N executors) = (thr_4 / thr_1) / 4 = {eff}**
-{'✅ meets' if eff >= 0.8 else '⚠️ below'} the ≥0.8 target.
+{'✅ meets' if eff >= 0.8 else '⚠️ below'} the ≥0.8 target.{
+    " Also meets the round-4 verdict's re-proof bar (≥0.9 at 4× input),"
+    " closing the r4 finding that 0.815 was a small-input layout artifact"
+    " rather than a scalability property." if eff >= 0.9 else ""}
 
-{_mechanism_md(mech)}
+{notes.rstrip() + chr(10) + chr(10) if notes else ''}{_mechanism_md(mech)}
 Why this holds at 1000 executors: the job is a narrow scan → one keyed
 exchange (salted against the mega-host skew) → partition-local encode →
 partition-aligned write; there is no global state, no driver-side loop, and
