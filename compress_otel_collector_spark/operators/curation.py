@@ -1,20 +1,23 @@
 """Corpus-curation operators beyond the 50-entry driver ledger: URL
-canonicalization + canonical-URL dedup, and deterministic hash-mod
-stratified sampling. All JVM-side expressions; the canonicalizer has a
-DuckDB-twin emitter (``canonical_url_sql``) generated from the SAME step
-table, so the Spark expression and the oracle SQL can never drift.
+canonicalization + canonical-URL dedup, deterministic hash-mod
+stratified sampling, and fixed-length training-sequence packing. All
+JVM-side expressions; the canonicalizer has a DuckDB-twin emitter
+(``canonical_url_sql``) generated from the SAME step table, so the Spark
+expression and the oracle SQL can never drift.
 
 Scale notes: canonicalization is a narrow per-row expression;
 canonical-URL dedup is one hash-aggregate shuffle on the canonical key
 (the same 100 TB shape as ``dedup.exact_duplicates``); hash-mod sampling
 is narrow and — unlike ``df.sample`` — deterministic across retries,
 partitionings and cluster sizes, which is what a resumable training-data
-pipeline needs (a task retry must not change the sample).
+pipeline needs (a task retry must not change the sample); sequence
+packing is one shard-partitioned window cumsum — no global sort, shard
+count scales with the cluster.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: query parameters that never change page content — the common tracker set
@@ -136,4 +139,67 @@ def stratified_hash_sample(df: DataFrame, fraction_pct: int,
         .agg(F.count("*").alias("kept"),
              F.min(id_col).alias("min_id"),
              F.max(id_col).alias("max_id"))
+    )
+
+
+def pack_sequences(df: DataFrame, seq_len: int = 2048,
+                   n_shards: int = 16, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Assign documents to fixed-length training sequences (the packing
+    pass every LLM data pipeline runs before writing training shards):
+    docs are concatenated head-to-tail, ``seq_len`` tokens per sequence,
+    no padding between docs and no truncation — a doc longer than the
+    remaining space spans into the next sequence(s).
+
+    Deterministic and cluster-invariant: each doc goes to shard
+    ``first-32-bits-of-md5(doc_id) % n_shards`` (the portable
+    ``host_bucket_expr`` construction — stable across cluster resizes
+    and bit-identical in DuckDB), docs pack within a shard in ``doc_id``
+    order, so a retry or a different executor count yields byte-identical
+    shards. Whitespace tokenization, consistent with ``subdoc_dedup`` /
+    ``textstats.token_count``; zero-token docs are excluded (they occupy
+    no sequence space).
+
+    Returns per doc: ``shard``, ``n_tokens``, ``seq_first`` / ``offset``
+    (sequence index and token position where the doc starts) and
+    ``seq_last`` (where it ends) — exactly what a shard writer needs to
+    materialize sequences, and enough to audit packing (``fill ratio`` =
+    sum(n_tokens) / (max(seq_last)+1) / seq_len per shard).
+
+    100 TB shape: one narrow token-count pass, ONE hash exchange on
+    ``shard`` + an in-partition ordered window cumsum — no global sort,
+    no driver state; shard count is chosen per cluster (each shard's
+    running sum is an independent sequential chain, which is exactly the
+    training-shard layout). DuckDB twin: same window
+    ``SUM(nt) OVER (PARTITION BY shard ORDER BY doc_id ROWS BETWEEN
+    UNBOUNDED PRECEDING AND 1 PRECEDING)``.
+    """
+    nt = F.size(F.filter(F.split(F.col(text_col), " "),
+                         lambda t: t != ""))
+    shard = F.pmod(
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8),
+               16, 10).cast("long"),
+        F.lit(n_shards),
+    ).cast("int")
+    base = (
+        df.select(F.col(id_col).alias("doc_id"), nt.alias("n_tokens"),
+                  shard.alias("shard"))
+        .where(F.col("n_tokens") >= 1)
+    )
+    w = (Window.partitionBy("shard").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    seq_len = int(seq_len)
+    # integer DIV, not float `/`+cast: exact at any cumsum magnitude (a
+    # double round-trip is exact only below 2^53 — and DuckDB's `/`
+    # additionally ROUNDS on cast, so the twin uses `//`)
+    packed = base.select("doc_id", "shard", "n_tokens",
+                         cum_before.cast("long").alias("cum_before"))
+    return packed.select(
+        "doc_id", "shard", "n_tokens",
+        F.expr(f"cum_before DIV {seq_len}").alias("seq_first"),
+        F.pmod(F.col("cum_before"), F.lit(seq_len)).cast("long")
+        .alias("offset"),
+        F.expr(f"(cum_before + n_tokens - 1) DIV {seq_len}")
+        .alias("seq_last"),
     )

@@ -167,3 +167,89 @@ class TestCanonicalUrlFuzzParity:
         df = spark.createDataFrame([(u,) for u in urls], "url string")
         got = [r[0] for r in df.select(canonical_url("url")).collect()]
         assert got == _duck_canon(urls)
+
+
+class TestPackSequences:
+    """Fixed-length training-sequence packing (operators/curation.py
+    pack_sequences): hand-computed oracle, DuckDB twin parity on real
+    testdata, and the cluster-invariance the operator promises."""
+
+    def test_hand_computed_single_shard(self, spark):
+        # one shard -> pure sequential packing in doc_id order
+        docs = [(1, "a b c"), (2, "d e f g"), (3, "h"), (4, "i j k l m")]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        from compress_otel_collector_spark.operators.curation import (
+            pack_sequences)
+        got = {r["doc_id"]: r.asDict() for r in
+               pack_sequences(df, seq_len=4, n_shards=1).collect()}
+        # cum_before: d1=0, d2=3, d3=7, d4=8 (tokens 3,4,1,5)
+        assert got[1] == {"doc_id": 1, "shard": 0, "n_tokens": 3,
+                          "seq_first": 0, "offset": 0, "seq_last": 0}
+        assert got[2] == {"doc_id": 2, "shard": 0, "n_tokens": 4,
+                          "seq_first": 0, "offset": 3, "seq_last": 1}
+        assert got[3] == {"doc_id": 3, "shard": 0, "n_tokens": 1,
+                          "seq_first": 1, "offset": 3, "seq_last": 1}
+        assert got[4] == {"doc_id": 4, "shard": 0, "n_tokens": 5,
+                          "seq_first": 2, "offset": 0, "seq_last": 3}
+
+    def test_empty_docs_excluded_and_offset_bounded(self, spark):
+        docs = [(1, "x y"), (2, "   "), (3, ""), (4, "z")]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        from compress_otel_collector_spark.operators.curation import (
+            pack_sequences)
+        rows = pack_sequences(df, seq_len=3, n_shards=2).collect()
+        assert sorted(r["doc_id"] for r in rows) == [1, 4]
+        assert all(0 <= r["offset"] < 3 for r in rows)
+        assert all(r["seq_last"] >= r["seq_first"] for r in rows)
+
+    def test_duckdb_twin_parity_real_docs(self, spark):
+        """Bit-identical packing assignment vs DuckDB on the sf0.001
+        documents table: portable md5 shard + the same window cumsum."""
+        sf = "/root/testdata/sf0.001"
+        from compress_otel_collector_spark.operators.curation import (
+            pack_sequences)
+        df = spark.read.parquet(f"{sf}/documents.parquet")
+        got = sorted(
+            tuple(r) for r in pack_sequences(
+                df, seq_len=512, n_shards=8).collect())
+        import duckdb
+        con = duckdb.connect()
+        duck = sorted(tuple(r) for r in con.sql(f"""
+            WITH base AS (
+              SELECT doc_id,
+                     len(list_filter(string_split(text, ' '),
+                                     t -> t != '')) AS n_tokens,
+                     CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                              1, 8) AS BIGINT)
+                          % 8 AS INT) AS shard
+              FROM read_parquet('{sf}/documents.parquet')
+            ), packed AS (
+              SELECT doc_id, shard, n_tokens,
+                     COALESCE(SUM(n_tokens) OVER (
+                         PARTITION BY shard ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0) AS cum_before
+              FROM base WHERE n_tokens >= 1
+            )
+            SELECT doc_id, shard, n_tokens,
+                   CAST(cum_before // 512 AS BIGINT) AS seq_first,
+                   CAST(cum_before % 512 AS BIGINT) AS "offset",
+                   CAST((cum_before + n_tokens - 1) // 512 AS BIGINT)
+                       AS seq_last
+            FROM packed
+        """).fetchall())
+        assert len(got) > 100
+        assert got == duck
+
+    def test_partitioning_invariance(self, spark):
+        """The packing assignment must not depend on input partitioning —
+        the retry/cluster-resize guarantee."""
+        sf = "/root/testdata/sf0.001"
+        from compress_otel_collector_spark.operators.curation import (
+            pack_sequences)
+        df = spark.read.parquet(f"{sf}/documents.parquet")
+        a = sorted(tuple(r) for r in pack_sequences(
+            df.repartition(1), seq_len=256, n_shards=4).collect())
+        b = sorted(tuple(r) for r in pack_sequences(
+            df.repartition(13), seq_len=256, n_shards=4).collect())
+        assert a == b
