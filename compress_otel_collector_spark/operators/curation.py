@@ -1,8 +1,9 @@
 """Corpus-curation operators beyond the 50-entry driver ledger: URL
 canonicalization + canonical-URL dedup, deterministic hash-mod
-stratified sampling, and fixed-length training-sequence packing. All
-JVM-side expressions; the canonicalizer has a DuckDB-twin emitter
-(``canonical_url_sql``) generated from the SAME step table, so the Spark
+stratified sampling, fixed-length training-sequence packing, and PII
+redaction. All JVM-side expressions; the canonicalizer and the PII
+scrubber each have a DuckDB-twin emitter (``canonical_url_sql`` /
+``pii_scrub_sql``) generated from the SAME step table, so the Spark
 expression and the oracle SQL can never drift.
 
 Scale notes: canonicalization is a narrow per-row expression;
@@ -203,3 +204,65 @@ def pack_sequences(df: DataFrame, seq_len: int = 2048,
         F.expr(f"(cum_before + n_tokens - 1) DIV {seq_len}")
         .alias("seq_last"),
     )
+
+
+#: PII redaction steps, in order: (label, pattern, replacement token).
+#: Order matters — emails are matched before phone numbers so the digits
+#: inside a local-part are never half-redacted. Patterns are RE2-safe
+#: (no backrefs/lookarounds) and compose identically in Spark and DuckDB;
+#: ``pii_scrub_sql`` emits the twin from this SAME table.
+PII_STEPS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+     "<EMAIL>"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("phone",
+     r"\+?\d{1,3}[-. (]{1,2}\d{2,4}[-. )]{1,2}\d{3,4}[-. ]?\d{2,4}\b",
+     "<PHONE>"),
+)
+
+
+def pii_scrub(text_col: str = "text") -> Column:
+    """Redact emails, IPv4 addresses and international-format phone
+    numbers from a text column — the standard PII pass a web corpus runs
+    before training (C4/RefinedWeb-style), as one composable chain of
+    JVM ``regexp_replace`` steps (``PII_STEPS``). Narrow per-row
+    expression: zero shuffles, pipelines into any scan.
+
+    Deliberately pattern-scoped: only formats that are unambiguous in
+    running text are redacted (a bare 10-digit integer is NOT treated as
+    a phone number — the false-merge cost on web text outweighs the
+    recall). ``pii_scrub_sql`` emits the DuckDB twin from the same step
+    table, so the redaction is engine-portable and oracle-checkable.
+    """
+    u = F.col(text_col)
+    for _label, pat, rep in PII_STEPS:
+        u = F.regexp_replace(u, pat, rep)
+    return u
+
+
+def pii_scrub_sql(expr: str) -> str:
+    """DuckDB SQL twin of ``pii_scrub`` — emitted from ``PII_STEPS`` so
+    the two engines cannot drift (DuckDB needs the explicit 'g' flag
+    Spark defaults to)."""
+    u = expr
+    for _label, pat, rep in PII_STEPS:
+        u = f"regexp_replace({u}, '{pat}', '{rep}', 'g')"
+    return u
+
+
+def pii_stats(df: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """Per-doc PII accounting: redaction counts per category plus the
+    scrubbed length — what a curation report aggregates. Same narrow
+    shape as ``pii_scrub``; counts come from ``regexp_count`` on the
+    PRE-redaction text with the same step patterns applied sequentially
+    (each step counts on the previous step's output, mirroring the
+    scrub's ordering semantics exactly)."""
+    cols = [F.col(id_col).alias("doc_id")]
+    u = F.col(text_col)
+    for label, pat, rep in PII_STEPS:
+        cols.append(F.regexp_count(u, F.lit(pat)).cast("long")
+                    .alias(f"n_{label}"))
+        u = F.regexp_replace(u, pat, rep)
+    cols.append(F.length(u).cast("long").alias("scrubbed_len"))
+    return df.select(*cols)

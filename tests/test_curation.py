@@ -253,3 +253,90 @@ class TestPackSequences:
         b = sorted(tuple(r) for r in pack_sequences(
             df.repartition(13), seq_len=256, n_shards=4).collect())
         assert a == b
+
+
+class TestPiiScrub:
+    """PII redaction (operators/curation.py pii_scrub/pii_stats): the
+    hand-written CASES are the independent oracle; the DuckDB twin
+    (emitted by pii_scrub_sql from the same step table) proves
+    engine-portability on both CASES and real documents."""
+
+    CASES = [
+        ("mail me at jane.doe+x@example.co.uk today",
+         "mail me at <EMAIL> today"),
+        ("server 192.168.0.1 and 10.0.0.255 up", "server <IP> and <IP> up"),
+        ("call +1 (555) 123-4567 now", "call <PHONE> now"),
+        ("call +49 30 9018 20", "call <PHONE>"),
+        ("no pii here, just text 42", "no pii here, just text 42"),
+        # email wins over phone: digits in a local-part never half-redact
+        ("contact 555123@corp.com", "contact <EMAIL>"),
+        # dotted quad is <IP> even when not a valid address (pattern-scoped)
+        ("v 1.2.345.67 shipped", "v <IP> shipped"),
+        ("", ""),
+    ]
+
+    def test_hand_written_oracle(self, spark):
+        from compress_otel_collector_spark.operators.curation import (
+            pii_scrub)
+        df = spark.createDataFrame([(t,) for t, _ in self.CASES],
+                                   "text string")
+        got = [r[0] for r in df.select(pii_scrub("text")).collect()]
+        assert got == [want for _, want in self.CASES]
+
+    def test_duckdb_twin_parity(self, spark):
+        import duckdb
+
+        from compress_otel_collector_spark.operators.curation import (
+            pii_scrub, pii_scrub_sql)
+        texts = [t for t, _ in self.CASES]
+        df = spark.createDataFrame([(t,) for t in texts], "text string")
+        got = [r[0] for r in df.select(pii_scrub("text")).collect()]
+        con = duckdb.connect()
+        con.sql("CREATE TABLE t(text VARCHAR)")
+        con.executemany("INSERT INTO t VALUES (?)", [(t,) for t in texts])
+        duck = [r[0] for r in con.sql(
+            f"SELECT {pii_scrub_sql('text')} FROM t").fetchall()]
+        assert got == duck == [want for _, want in self.CASES]
+
+    def test_twin_parity_real_docs(self, spark):
+        """Engine-portability on the sf0.001 documents table with planted
+        PII appended (real text exercises boundary cases the hand list
+        can't)."""
+        import duckdb
+
+        from compress_otel_collector_spark.operators.curation import (
+            pii_scrub, pii_scrub_sql)
+        sf = "/root/testdata/sf0.001"
+        df = (spark.read.parquet(f"{sf}/documents.parquet")
+              .orderBy("doc_id").limit(200)
+              .selectExpr("doc_id",
+                          "concat(text, ' a@b.io 8.8.8.8 "
+                          "+44 20 7946 0958') AS text"))
+        got = {r["doc_id"]: r["s"] for r in
+               df.select("doc_id", pii_scrub("text").alias("s")).collect()}
+        con = duckdb.connect()
+        twin = pii_scrub_sql(
+            "concat(text, ' a@b.io 8.8.8.8 +44 20 7946 0958')")
+        duck = {r[0]: r[1] for r in con.sql(f"""
+            SELECT doc_id, {twin}
+            FROM read_parquet('{sf}/documents.parquet')
+            ORDER BY doc_id LIMIT 200
+        """).fetchall()}
+        assert got == duck
+        assert all("<EMAIL>" in s and "<IP>" in s and "<PHONE>" in s
+                   for s in got.values())
+
+    def test_pii_stats_counts(self, spark):
+        from compress_otel_collector_spark.operators.curation import (
+            pii_stats)
+        df = spark.createDataFrame(
+            [(1, "a@b.io and c@d.org from 1.2.3.4"),
+             (2, "+1 (555) 123-4567"),
+             (3, "clean")],
+            "doc_id long, text string")
+        got = {r["doc_id"]: r.asDict() for r in pii_stats(df).collect()}
+        assert got[1]["n_email"] == 2 and got[1]["n_ipv4"] == 1 \
+            and got[1]["n_phone"] == 0
+        assert got[2]["n_phone"] == 1
+        assert got[3] == {"doc_id": 3, "n_email": 0, "n_ipv4": 0,
+                          "n_phone": 0, "scrubbed_len": 5}
