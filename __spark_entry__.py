@@ -25,6 +25,7 @@ from compress_otel_collector_spark.operators import (
     lsh_cosine_topk,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    pii_count_sql,
     quality_score,
     simhash,
     simhash_hamming_pairs,
@@ -561,15 +562,22 @@ def _q_corpus_curation(spark, sf_dir):
     keep-first → canonical-URL dedup (r4 verdict #8: URL-variant
     duplicates — tracking params, host case, trailing slash — collapse
     via operators.curation.canonical_url; the twin reuses the emitted
-    canonical_url_sql) → per-source corpus budget. The documents table
-    has no url column, so each doc derives one deterministically: docs
-    (2k, 2k+1) crawl the same page through two surface forms that only
-    canonicalization unifies. The shape a 100 TB curation job actually
-    runs — filters and canonicalization are narrow, the shuffles are the
-    two dedup hash-aggs and the final per-source aggregate."""
+    canonical_url_sql) → PII accounting (r5: operators.curation
+    pii_count_expr over deterministically planted contact lines — every
+    kept doc carries one; the twin reuses the emitted pii_count_sql, so
+    the redaction count is exactly recomputable) → per-source corpus
+    budget. The documents table has no url column, so each doc derives
+    one deterministically: docs (2k, 2k+1) crawl the same page through
+    two surface forms that only canonicalization unifies. The shape a
+    100 TB curation job actually runs — filters, canonicalization and
+    PII counting are narrow, the shuffles are the two dedup hash-aggs
+    and the final per-source aggregate."""
     from compress_otel_collector_spark.operators import (
         canonical_url,
         dedup_keep_first,
+    )
+    from compress_otel_collector_spark.operators.curation import (
+        pii_count_expr,
     )
 
     docs = load_table(spark, sf_dir, "documents")
@@ -595,10 +603,18 @@ def _q_corpus_curation(spark, sf_dir):
         .withColumn("_rn", F.row_number().over(wu))
         .where(F.col("_rn") == 1)
     )
-    return url_deduped.groupBy("source").agg(
+    # every kept doc gains one deterministic contact line so the PII
+    # accounting is non-trivial and exactly recomputable in the twin
+    planted = url_deduped.withColumn(
+        "pii_text",
+        F.concat(F.col("text"), F.lit(" contact-"),
+                 F.col("doc_id").cast("string"),
+                 F.lit("@crawl.example.com")))
+    return planted.groupBy("source").agg(
         F.count("*").alias("docs_kept"),
         F.sum("n_tokens").alias("token_budget"),
         F.round(F.avg("quality"), 4).alias("avg_quality"),
+        F.sum(pii_count_expr("pii_text")).alias("pii_redactions"),
     )
 
 
@@ -1454,7 +1470,7 @@ def oracle_sql() -> dict[str, str]:
             , dedup AS (SELECT *, row_number() OVER (
                             PARTITION BY md5(text) ORDER BY doc_id) AS rn
                         FROM kept)
-            , u AS (SELECT source, doc_id, quality, n_tokens,
+            , u AS (SELECT source, doc_id, quality, n_tokens, text,
                            CASE WHEN doc_id % 2 = 0
                                 THEN 'https://h' || b || '.example.com/page/'
                                      || b || '?utm_source=feed'
@@ -1469,7 +1485,11 @@ def oracle_sql() -> dict[str, str]:
                      FROM u)
             SELECT source, count(*) AS docs_kept,
                    CAST(SUM(n_tokens) AS BIGINT) AS token_budget,
-                   round(avg(quality), 4) AS avg_quality
+                   round(avg(quality), 4) AS avg_quality,
+                   CAST(SUM(""" + pii_count_sql(
+                       "(text || ' contact-' || CAST(doc_id AS VARCHAR)"
+                       " || '@crawl.example.com')") + """) AS BIGINT)
+                       AS pii_redactions
             FROM cu WHERE rn2 = 1 GROUP BY source
         """,
         "dedup_exact": """

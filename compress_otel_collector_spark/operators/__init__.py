@@ -44,5 +44,11 @@ from .curation import (  # noqa: F401
     canonical_url,
     canonical_url_sql,
     dedup_canonical_url,
+    pack_sequences,
+    pii_count_expr,
+    pii_count_sql,
+    pii_scrub,
+    pii_scrub_sql,
+    pii_stats,
     stratified_hash_sample,
 )

@@ -266,3 +266,29 @@ def pii_stats(df: DataFrame, text_col: str = "text",
         u = F.regexp_replace(u, pat, rep)
     cols.append(F.length(u).cast("long").alias("scrubbed_len"))
     return df.select(*cols)
+
+
+def pii_count_expr(text_col: str = "text") -> Column:
+    """Total PII redaction count for a text column — the number of
+    ``<EMAIL>``/``<IP>``/``<PHONE>`` substitutions ``pii_scrub`` would
+    make, with the same sequential step semantics (each step counts on
+    the previous step's output). Narrow; composes into any aggregate.
+    ``pii_count_sql`` emits the DuckDB twin from the same step table."""
+    u = F.col(text_col)
+    total = F.lit(0)
+    for _label, pat, rep in PII_STEPS:
+        total = total + F.regexp_count(u, F.lit(pat))
+        u = F.regexp_replace(u, pat, rep)
+    return total.cast("long")
+
+
+def pii_count_sql(expr: str) -> str:
+    """DuckDB SQL twin of ``pii_count_expr`` — emitted from
+    ``PII_STEPS`` (sequential counts via ``len(regexp_extract_all)`` on
+    the progressively redacted text)."""
+    u = expr
+    parts = []
+    for _label, pat, rep in PII_STEPS:
+        parts.append(f"len(regexp_extract_all({u}, '{pat}'))")
+        u = f"regexp_replace({u}, '{pat}', '{rep}', 'g')"
+    return "(" + " + ".join(parts) + ")"
