@@ -565,7 +565,13 @@ def _q_corpus_curation(spark, sf_dir):
     canonical_url_sql) → PII accounting (r5: operators.curation
     pii_count_expr over deterministically planted contact lines — every
     kept doc carries one; the twin reuses the emitted pii_count_sql, so
-    the redaction count is exactly recomputable) → per-source corpus
+    the redaction count is exactly recomputable) → sequence packing
+    (r6, r5 verdict #2: operators.curation.pack_sequences assigns every
+    kept doc to fixed-length 512-token training sequences over 4
+    md5-hashed shards; the per-source summary — sequences spanned and
+    the highest sequence index touched — is recomputed by the twin with
+    the documented window-cumsum + ``//`` SQL, so the packing assignment
+    itself is oracle-checked in the driver ledger) → per-source corpus
     budget. The documents table has no url column, so each doc derives
     one deterministically: docs (2k, 2k+1) crawl the same page through
     two surface forms that only canonicalization unifies. The shape a
@@ -577,6 +583,7 @@ def _q_corpus_curation(spark, sf_dir):
         dedup_keep_first,
     )
     from compress_otel_collector_spark.operators.curation import (
+        pack_sequences,
         pii_count_expr,
     )
 
@@ -610,11 +617,20 @@ def _q_corpus_curation(spark, sf_dir):
         F.concat(F.col("text"), F.lit(" contact-"),
                  F.col("doc_id").cast("string"),
                  F.lit("@crawl.example.com")))
-    return planted.groupBy("source").agg(
-        F.count("*").alias("docs_kept"),
-        F.sum("n_tokens").alias("token_budget"),
-        F.round(F.avg("quality"), 4).alias("avg_quality"),
-        F.sum(pii_count_expr("pii_text")).alias("pii_redactions"),
+    packed = pack_sequences(url_deduped.select("doc_id", "text"),
+                            seq_len=512, n_shards=4)
+    return (
+        planted.join(
+            packed.select("doc_id", "seq_first", "seq_last"), "doc_id")
+        .groupBy("source").agg(
+            F.count("*").alias("docs_kept"),
+            F.sum("n_tokens").alias("token_budget"),
+            F.round(F.avg("quality"), 4).alias("avg_quality"),
+            F.sum(pii_count_expr("pii_text")).alias("pii_redactions"),
+            F.sum(F.col("seq_last") - F.col("seq_first") + 1)
+            .alias("seqs_spanned"),
+            F.max("seq_last").alias("max_seq"),
+        )
     )
 
 
@@ -873,6 +889,15 @@ def _q_embedding_dup_lsh(spark, sf_dir):
       (TRUE-literal twin, ``ann_recall`` style; near-dup — not
       identical — recall is pinned at exact values in
       tests/test_operators.py planted-copy cases).
+
+    The hot-bucket cap (r5 verdict #1) is ON by default
+    (``DEFAULT_MAX_VEC_BUCKET`` = 100) and does not perturb this
+    scorecard: the planted corpus's largest (table, bucket) group is 9
+    members (measured at sf0.01), so no bucket is dropped and the twin
+    needs no cap mirror — unlike ``dedup_minhash_lsh``, whose twin
+    re-runs the banding in SQL and therefore carries ``HAVING count(*)
+    <= cap``. The cap's behavior is pinned by the planted-hot-bucket
+    test (tests/test_operators.py TestEmbeddingDupLSH).
     """
     from compress_otel_collector_spark.operators import (
         embedding_dup_pairs,
@@ -1483,14 +1508,32 @@ def oracle_sql() -> dict[str, str]:
                          PARTITION BY """ + canonical_url_sql("url") + """
                          ORDER BY doc_id) AS rn2
                      FROM u)
+            , kept2 AS (SELECT source, doc_id, quality, n_tokens, text
+                        FROM cu WHERE rn2 = 1)
+            -- pack_sequences twin (operators/curation.py docstring):
+            -- portable md5 shard + window cumsum + integer //
+            , pc AS (SELECT doc_id,
+                         COALESCE(SUM(n_tokens) OVER (
+                             PARTITION BY CAST(
+                                 CAST('0x' || substr(
+                                     md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                                     AS BIGINT) % 4 AS INT)
+                             ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING), 0) AS cb
+                     FROM kept2 WHERE n_tokens >= 1)
             SELECT source, count(*) AS docs_kept,
                    CAST(SUM(n_tokens) AS BIGINT) AS token_budget,
                    round(avg(quality), 4) AS avg_quality,
                    CAST(SUM(""" + pii_count_sql(
                        "(text || ' contact-' || CAST(doc_id AS VARCHAR)"
                        " || '@crawl.example.com')") + """) AS BIGINT)
-                       AS pii_redactions
-            FROM cu WHERE rn2 = 1 GROUP BY source
+                       AS pii_redactions,
+                   CAST(SUM((cb + n_tokens - 1) // 512
+                            - cb // 512 + 1) AS BIGINT) AS seqs_spanned,
+                   CAST(MAX((cb + n_tokens - 1) // 512) AS BIGINT)
+                       AS max_seq
+            FROM kept2 JOIN pc USING (doc_id) GROUP BY source
         """,
         "dedup_exact": """
             SELECT md5(text) AS text_hash,

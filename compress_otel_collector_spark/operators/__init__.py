@@ -15,9 +15,11 @@ from .dedup import (  # noqa: F401
     word_shingles,
 )
 from .similarity import (  # noqa: F401
+    DEFAULT_MAX_VEC_BUCKET,
     cosine_pairs,
     cosine_topk,
     embedding_dup_pairs_lsh,
+    embedding_hot_buckets,
     ivf_assign,
     ivf_topk,
     ivf_train_centroids,

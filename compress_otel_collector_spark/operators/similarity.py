@@ -183,10 +183,39 @@ def lsh_cosine_topk(embeddings: DataFrame, k: int = 5, n_queries: int = 20,
     )
 
 
+#: default hot-bucket cap for embedding LSH, mirroring
+#: ``dedup.DEFAULT_MAX_BUCKET``: a (table, bucket) group is a candidate
+#: *cluster* and real near-dup clusters are small; anything larger is a
+#: degenerate signature (zero/padded vectors, a post-dedup residue of
+#: near-identical embeddings) whose in-bucket pairing is quadratic. 100
+#: bounds any bucket's pair fan-out at 100·99/2 ≈ 5k while keeping every
+#: real cluster at tested scales (identical-vector dup buckets are tiny).
+DEFAULT_MAX_VEC_BUCKET = 100
+
+
+def embedding_hot_buckets(embeddings: DataFrame, max_bucket: int,
+                          n_planes: int = 8, n_tables: int = 4,
+                          dim: int = 64, vec_col: str = "embedding",
+                          id_col: str = "vec_id") -> DataFrame:
+    """(table:bucket, bucket_size) rows whose membership exceeds
+    ``max_bucket`` — the mass :func:`embedding_dup_pairs_lsh` drops.
+    Mirrors ``dedup.lsh_hot_buckets``: production runs report these so a
+    capped bucket is observable, never silent."""
+    sigs = lsh_signatures(embeddings, n_planes=n_planes, n_tables=n_tables,
+                          dim=dim, vec_col=vec_col, id_col=id_col)
+    return (
+        sigs.select(F.concat_ws(":", "table", "bucket").alias("bkt"))
+        .groupBy("bkt").agg(F.count("*").alias("bucket_size"))
+        .where(F.col("bucket_size") > max_bucket)
+    )
+
+
 def embedding_dup_pairs_lsh(embeddings: DataFrame, threshold: float = 0.9,
                             n_planes: int = 8, n_tables: int = 4,
                             dim: int = 64, vec_col: str = "embedding",
-                            id_col: str = "vec_id") -> DataFrame:
+                            id_col: str = "vec_id",
+                            max_bucket: int | None = DEFAULT_MAX_VEC_BUCKET
+                            ) -> DataFrame:
     """Embedding near-dup pairs at scale: LSH candidates + exact verify.
 
     The scale path for ``embedding_dup_pairs`` (which is exact but
@@ -198,6 +227,17 @@ def embedding_dup_pairs_lsh(embeddings: DataFrame, threshold: float = 0.9,
     At 100 TB: one narrow signature pass, a bucket groupBy over ids, and
     two hash joins of the (small) candidate set back to vectors — never
     an all-pairs product.
+
+    ``max_bucket`` caps per-bucket fan-out exactly like
+    ``dedup.minhash_lsh_pairs``: buckets larger than the cap are dropped
+    AFTER the single groupBy aggregate, inside the one lineage
+    (``size(ids) > cap`` ⇒ drop before pair explosion), killing the
+    quadratic bomb a degenerate bucket (k near-identical or zero vectors
+    → one O(k²) task) would set off at 100 TB. The residual cost of
+    having collected a hot bucket's id array once is linear and paid
+    once. ON by default (:data:`DEFAULT_MAX_VEC_BUCKET`); pass
+    ``max_bucket=None`` to disable explicitly. Dropped mass is observable
+    via :func:`embedding_hot_buckets` with the same parameters.
     """
     sigs = lsh_signatures(embeddings, n_planes=n_planes, n_tables=n_tables,
                           dim=dim, vec_col=vec_col, id_col=id_col)
@@ -207,6 +247,8 @@ def embedding_dup_pairs_lsh(embeddings: DataFrame, threshold: float = 0.9,
         .groupBy("bkt")
         .agg(F.sort_array(F.collect_set("vec_id")).alias("ids"))
     )
+    if max_bucket is not None:
+        grouped = grouped.where(F.size("ids") <= max_bucket)
     pair_arr = F.flatten(F.transform(
         F.col("ids"),
         lambda a, i: F.transform(

@@ -523,6 +523,51 @@ class TestEmbeddingDupLSH:
         # for this fixture) — everything reported must be a planted copy
         assert all(b - a == 100000 for a, b in got)
 
+    def test_hot_bucket_capped_by_default(self, spark, sf_dir):
+        """500 copies of one vector land in ONE bucket per table — the
+        degenerate shape (zero/padded embeddings, post-dedup residue)
+        whose in-bucket pairing is O(k²). The DEFAULT path must drop the
+        hot bucket (bounded per-task fan-out), the dropped mass must be
+        observable, a normal planted dup elsewhere must still be found,
+        and opting out must be explicit (r5 verdict #1 — minhash got
+        this cap in r3, the embedding variant didn't)."""
+        from compress_otel_collector_spark.operators import (
+            embedding_dup_pairs_lsh,
+            embedding_hot_buckets,
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        clones = (
+            emb.where(F.col("vec_id") == 0)
+            .crossJoin(spark.range(500).select(F.col("id").alias("k")))
+            .withColumn("vec_id", F.col("k") + 500000)
+            .drop("k")
+        )
+        pair = (
+            emb.where(F.col("vec_id") == 7)
+            .withColumn("vec_id", F.lit(700000))
+        )
+        both = emb.unionByName(clones.select(emb.columns)) \
+                  .unionByName(pair.select(emb.columns))
+
+        got = {(r["a_id"], r["b_id"])
+               for r in embedding_dup_pairs_lsh(both, threshold=0.95)
+               .collect()}
+        # the clone cluster (would be 500·499/2 ≈ 125k pairs) is dropped
+        assert not any(a >= 500000 and b >= 500000 for a, b in got)
+        # the small planted dup (bucket size ≪ cap) is still found
+        assert (7, 700000) in got
+
+        hot = embedding_hot_buckets(both, max_bucket=100).collect()
+        assert len(hot) >= 1
+        assert max(r["bucket_size"] for r in hot) >= 500
+
+        # opting OUT must be explicit, and recovers the quadratic set
+        uncapped = embedding_dup_pairs_lsh(
+            both, threshold=0.95, max_bucket=None).where(
+            (F.col("a_id") >= 500000) & (F.col("b_id") >= 500000))
+        assert uncapped.count() == 500 * 499 // 2
+
 
 class TestSubdocDedup:
     """Sub-document exact dedup (Lee et al./RefinedWeb pass): paragraph
