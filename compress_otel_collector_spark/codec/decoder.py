@@ -32,6 +32,10 @@ from .varint import decode_sleb128
 _MAGIC = b"cprval"
 _UNPACK_DOUBLE = struct.Struct("<d").unpack_from
 
+#: minimum free-map pool size for the vectorized decode attempt — below
+#: this the numpy scan setup costs more than the scalar loop saves
+_FAST_POOL_MIN = 64
+
 #: free values (attribute maps) may nest arbitrarily on a VALID wire, but a
 #: corrupt blob can synthesize pathological depth — cap it well below
 #: Python's recursion limit so corruption raises CodecError, never
@@ -139,13 +143,16 @@ class _Plan:
     input test plus the batch≡scalar hypothesis property.
     """
 
-    __slots__ = ("root", "pool_fns", "definition", "token_walker")
+    __slots__ = ("root", "pool_fns", "definition", "token_walker",
+                 "free_map_pools", "bytes_pools")
 
     def __init__(self, definition: Definition):
         from .tokdecode import compile_walker
 
         self.definition = definition
         self.pool_fns: dict[str, object] = {}
+        self.free_map_pools: set[str] = set()
+        self.bytes_pools: set[str] = set()
         self.root = _compile(definition, "", use_pool=True)
         # vectorized data-region fast path (None when the schema has
         # inline non-token leaves — see tokdecode.token_safe)
@@ -166,6 +173,10 @@ class _Plan:
             # (decode.go:59-67); diff fields are schema-forbidden in pools
             fn = _compile(pool_def, pool_id, use_pool=False)
             self.pool_fns[pool_id] = fn
+            if pool_def.is_free_map:
+                self.free_map_pools.add(pool_id)
+            elif pool_def.type == BYTES:
+                self.bytes_pools.add(pool_id)
         return fn
 
 
@@ -250,6 +261,75 @@ def _compile(d: Definition, path: str, use_pool: bool):
     return f
 
 
+def _bytes_pool_fast(data: bytes, pos: int, cnt: int):
+    """``cnt`` length-prefixed byte strings at ``data[pos:]``.
+
+    Fast path for BYTES pools (trace/span ids) and — via ``decode_fn`` in
+    :func:`_str_pool_fast` — the string pool block. Uniform-width pools
+    (every length prefix the same single byte, verified in ONE strided
+    slice compare — sound by induction: aligned start + equal prefix at
+    every stride ⇒ the true parse consumes exactly one stride per entry)
+    slice without per-entry length reads; mixed widths take a tight local
+    loop that skips the Reader/closure dispatch (1- and 2-byte
+    non-negative prefixes, i.e. lengths 0..8191). Returns
+    ``(entries, new_pos)`` or ``None`` on any anomaly (negative sleb128
+    length, ≥3-byte prefix, truncation) — the caller's scalar path then
+    reports the canonical CodecError.
+    """
+    n = len(data)
+    if pos >= n:
+        return None
+    l0 = data[pos]
+    # length prefixes are sleb128: a single byte with bit 0x40 set is a
+    # NEGATIVE value (scalar raises CodecError on it) — only 0x00-0x3F
+    # are valid single-byte lengths, 0x40-0x7F must fall through to the
+    # loop's reject (caught by the r6 large-pool corruption fuzz)
+    if l0 < 0x40:
+        stride = 1 + l0
+        need = cnt * stride
+        if (pos + need <= n
+                and data[pos:pos + need:stride] == bytes([l0]) * cnt):
+            big = data[pos:pos + need]
+            return ([big[i + 1:i + stride] for i in range(0, need, stride)],
+                    pos + need)
+    out = []
+    append = out.append
+    p = pos
+    for _ in range(cnt):
+        if p >= n:
+            return None
+        lb = data[p]
+        if lb < 0x40:  # 1-byte non-negative length
+            p += 1
+        elif lb >= 0x80 and p + 1 < n and data[p + 1] < 0x40:
+            # 2-byte varint, terminator non-negative: lengths 64..8191
+            lb = (lb & 0x7F) | (data[p + 1] << 7)
+            p += 2
+        else:
+            # negative single-byte (0x40-0x7F), continuation run ≥ 2
+            # bytes, or truncation — scalar path owns the verdict
+            return None
+        q = p + lb
+        if q > n:
+            return None
+        append(data[p:q])
+        p = q
+    return out, p
+
+
+def _str_pool_fast(data: bytes, pos: int, cnt: int):
+    """String-pool block via :func:`_bytes_pool_fast` + one utf-8 decode
+    per entry; ``None`` (→ scalar, canonical error) on invalid utf-8."""
+    res = _bytes_pool_fast(data, pos, cnt)
+    if res is None:
+        return None
+    raw, p = res
+    try:
+        return [s.decode("utf-8") for s in raw], p
+    except UnicodeDecodeError:
+        return None
+
+
 #: compiled plans per Definition (one trace model per process in practice;
 #: the strong ref keeps ids stable)
 _PLANS: dict[int, _Plan] = {}
@@ -276,17 +356,40 @@ def decode_meta(blob: bytes, definition: Definition):
     plan = _plan_for(definition)
     r = _Reader(bytes(blob))
 
-    string_pool: list[str] = []
-    for _ in range(r.read_varint()):
-        string_pool.append(r.read_string(r.read_varint()))
+    n_str = r.read_varint()
+    string_pool = None
+    if n_str >= _FAST_POOL_MIN:
+        res = _str_pool_fast(r.data, r.pos, n_str)
+        if res is not None:
+            string_pool, r.pos = res
+    if string_pool is None:
+        string_pool = []
+        for _ in range(n_str):
+            string_pool.append(r.read_string(r.read_varint()))
 
     value_pools: dict[str, list] = {}
     for _ in range(r.read_varint()):
         pool_id = r.read_string(r.read_varint())
         fn = plan.pool_fn(pool_id)
+        cnt = r.read_varint()
+        if cnt >= _FAST_POOL_MIN:
+            # vectorized/tight-loop pool fast paths (each sound by
+            # verification with scalar fallback — see the docstrings).
+            # The attributes free-map pool + the id BYTES pools + the
+            # string pool are ~95% of decode_meta on pipeline blobs.
+            res = None
+            if pool_id in plan.free_map_pools:
+                from .tokdecode import fast_free_map_pool
+
+                res = fast_free_map_pool(r.data, r.pos, cnt, string_pool)
+            elif pool_id in plan.bytes_pools:
+                res = _bytes_pool_fast(r.data, r.pos, cnt)
+            if res is not None:
+                value_pools[pool_id], r.pos = res
+                continue
         entries: list = []
         value_pools[pool_id] = entries
-        for _ in range(r.read_varint()):
+        for _ in range(cnt):
             entries.append(fn(r, None, string_pool, value_pools))
 
     if r.read_bytes(len(_MAGIC)) != _MAGIC:

@@ -49,6 +49,7 @@ from .definition import (
     BOOLEAN,
     INTEGER,
     OBJECT,
+    STRING,
     Definition,
 )
 from .values import CodecError
@@ -180,6 +181,175 @@ def tokenize(data: bytes, start: int) -> list[int]:
         out[idx:idx + 1] = _run_tokens(b, int(starts[idx]),
                                        int(ends[idx]) + 1)
     return out + tail if tail else out
+
+
+# --------------------------------------------------------------------------
+# Stage 1b: vectorized free-map POOL decode (meta block fast path)
+# --------------------------------------------------------------------------
+
+def _scan_values(b: np.ndarray, max_tokens: int | None = None):
+    """Boundary-scan ``b`` into apparent sleb128 tokens — NO splicing.
+
+    Returns ``(vals, lengths, ends)`` as int64 arrays over the first
+    ``max_tokens`` apparent tokens (terminator = byte < 0x80; all of them
+    when ``None``), or ``None`` when the region has no terminator at all.
+    The boundary scan runs over all of ``b`` (one cheap pass) but the
+    value math runs only on the needed prefix — a free-map pool sits in
+    front of megabytes of id payloads + data region it must not pay for.
+    Value math is in lockstep with :func:`tokenize` (same contrib/
+    reduceat/sign-extension scheme — pinned by the fast≡scalar pool
+    tests); tokens from runs > 9 bytes are GARBAGE lanes here (no scalar
+    splice), so callers must abort on ``lengths > 9`` inside their
+    consumed range.
+    """
+    ends = np.flatnonzero(b < 0x80)
+    if ends.size == 0:
+        return None
+    if max_tokens is not None and ends.size > max_tokens:
+        ends = ends[:max_tokens]
+    nb = int(ends[-1]) + 1
+    starts = np.empty_like(ends)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    lengths = ends - starts + 1
+    last = b[ends]
+    if int(lengths.max()) == 1:
+        v = last.astype(np.int64)
+        return v - ((v & 0x40) << 1), lengths, ends
+    is_end = b[:nb] < 0x80
+    tok_of = np.cumsum(is_end)
+    tok_of -= is_end
+    pos_in_tok = np.arange(nb, dtype=np.int64) - starts[tok_of]
+    np.minimum(pos_in_tok, 8, out=pos_in_tok)  # clamp garbage lanes
+    contrib = (b[:nb] & 0x7F).astype(np.uint64) << (
+        np.uint64(7) * pos_in_tok.astype(np.uint64))
+    vals = np.add.reduceat(contrib, starts)
+    need_sign = ((last & 0x40) != 0) & (lengths < 9)
+    vals[need_sign] -= np.uint64(1) << (
+        np.uint64(7) * lengths[need_sign].astype(np.uint64))
+    return vals.view(np.int64), lengths, ends
+
+
+def fast_free_map_pool(data: bytes, pos: int, n: int, string_pool: list):
+    """Vectorized decode of ``n`` uniform free-map pool entries.
+
+    Returns ``(entries, new_pos)`` or ``None`` (→ caller keeps the scalar
+    path). The attributes pool is ~95% of ``decode_meta`` on pipeline
+    blobs (columnar encode ⇒ every entry shares one key/tag pattern), so
+    this is the meta-block analogue of :func:`tokenize` + the generated
+    walker.
+
+    SOUND BY VERIFICATION — fast ≡ scalar whenever this returns non-None:
+    entry 0 is parsed strictly from the token stream (presence bytes must
+    be the literal ``0x01`` token, boolean values single-byte, value tags
+    in {INTEGER, STRING, BOOLEAN} so every value is one token), giving a
+    fixed per-entry token pattern of length L. The region's first n·L
+    tokens are then reshaped (n, L) and every structural column (count,
+    key index, presence, tag — plus byte-length 1 for presence/boolean
+    lanes, which the scalar path reads as RAW bytes, not varints) is
+    checked against entry 0's pattern. Induction: if entries 0..k-1
+    true-parse as the pattern, entry k starts exactly at token k·L, so
+    its structural checks run at true-parse-aligned positions — a
+    deviating entry (different count/keys, null value, nested/double/
+    bytes value tag, non-0x01 presence byte) fails its own aligned check
+    before any misparse can propagate. Runs > 9 bytes (bit-63 values /
+    corruption) inside the consumed range and out-of-range string-pool
+    indices also abort to scalar, which reports the canonical CodecError.
+    """
+    b = np.frombuffer(data, dtype=np.uint8, count=len(data) - pos,
+                      offset=pos)
+    if b.size == 0:
+        return None
+    # phase 1: entry 0's pattern from a small prefix scan (≤ 1 + 4·1024
+    # tokens ≤ ~41 KB at 10 B/token max — 64 KB covers any entry the
+    # cnt0 ≤ 1024 guard admits; a truncated parse falls back to scalar)
+    scan = _scan_values(b[:65536])
+    if scan is None:
+        return None
+    vals, lengths, ends = scan
+    # ---- entry 0: strict scalar parse over the tokens → the pattern ----
+    try:
+        cnt0 = int(vals[0])
+        if not 0 <= cnt0 <= 1024:
+            return None
+        i = 1
+        key_cols: list[int] = []
+        pres_cols: list[int] = []
+        tag_cols: list[int] = []
+        val_cols: list[int] = []
+        tags0: list[int] = []
+        keys0: list[int] = []
+        for _ in range(cnt0):
+            keys0.append(int(vals[i])); key_cols.append(i); i += 1
+            if lengths[i] != 1 or vals[i] != 1:  # presence: raw byte 0x01
+                return None
+            pres_cols.append(i); i += 1
+            t = int(vals[i])
+            if t not in (INTEGER, STRING, BOOLEAN):
+                return None
+            tags0.append(t); tag_cols.append(i); i += 1
+            if t == BOOLEAN and lengths[i] != 1:  # bool value: raw byte
+                return None
+            val_cols.append(i); i += 1
+        L = i
+    except IndexError:
+        return None
+    total = n * L
+    if total > vals.shape[0]:
+        # phase 2: the pool spans past the prefix — rescan with the value
+        # math truncated to exactly the needed tokens (the boundary scan
+        # itself is one cheap pass over the remainder)
+        scan = _scan_values(b, max_tokens=total)
+        if scan is None:
+            return None
+        vals, lengths, ends = scan
+        if total > vals.shape[0]:
+            return None
+    lens2 = lengths[:total].reshape(n, L)
+    if int(lens2.max()) > 9:  # unspliced garbage lane in range
+        return None
+    m = vals[:total].reshape(n, L)
+    # ---- vectorized structural verification against the pattern ----
+    # (the count column check runs BEFORE the empty-map early return:
+    # pool entries are distinct, so entry 0 == {} with non-empty later
+    # entries is a perfectly valid wire — skipping the check would decode
+    # every entry as {} and misposition the reader)
+    if not np.all(m[:, 0] == cnt0):
+        return None
+    if cnt0 == 0:
+        entries: list = [{} for _ in range(n)]
+        return entries, pos + int(ends[total - 1]) + 1
+    kc = np.asarray(key_cols)
+    if not np.all(m[:, kc] == np.asarray(keys0)):
+        return None
+    pc = np.asarray(pres_cols)
+    if not (np.all(m[:, pc] == 1) and np.all(lens2[:, pc] == 1)):
+        return None
+    tc = np.asarray(tag_cols)
+    if not np.all(m[:, tc] == np.asarray(tags0)):
+        return None
+    # ---- extract value columns ----
+    n_sp = len(string_pool)
+    for k in keys0:
+        if not 0 <= k < n_sp:
+            return None  # scalar raises the canonical string-pool error
+    key_strs = [string_pool[k] for k in keys0]
+    cols = []
+    for j, t in enumerate(tags0):
+        v = m[:, val_cols[j]]
+        if t == INTEGER:
+            cols.append(v.tolist())
+        elif t == BOOLEAN:
+            if not np.all(lens2[:, val_cols[j]] == 1):
+                return None
+            cols.append((v != 0).tolist())
+        else:  # STRING: pool gather, bounds-checked vectorized
+            if int(v.min()) < 0 or int(v.max()) >= n_sp:
+                return None
+            sp = string_pool
+            cols.append([sp[x] for x in v.tolist()])
+    entries = [dict(zip(key_strs, row)) for row in zip(*cols)]
+    return entries, pos + int(ends[total - 1]) + 1
 
 
 # --------------------------------------------------------------------------

@@ -60,6 +60,28 @@ def random_doc(rng):
     return doc
 
 
+def _mkbig(rng):
+    """70–180 spans with unique ids/attributes: every pool (span attrs
+    free-map, traceId/spanId BYTES, string) exceeds _FAST_POOL_MIN.
+    Random deviant entries (empty/None/double/nested/bit-63 attrs) force
+    the verified fallback on ~half the docs."""
+    from tests.test_tokdecode import _bigdoc
+
+    doc = _bigdoc(int(rng.integers(70, 180)))
+    spans = doc["resourceSpans"][0]["scopeSpans"][0]["spans"]
+    deviants = ({}, None, {"http.url": "d", "http.status_code": 2.5,
+                           "cache.hit": True},
+                {"http.url": "d", "http.status_code": {"n": 1},
+                 "cache.hit": False},
+                {"http.url": "d", "http.status_code": -(2 ** 56),
+                 "cache.hit": True},
+                {"only": "two", "keys": 1})
+    for _ in range(int(rng.integers(0, 3))):
+        i = int(rng.integers(0, len(spans)))
+        spans[i]["attributes"] = deviants[int(rng.integers(0, len(deviants)))]
+    return doc
+
+
 def main() -> int:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 1500
     n_blobs = int(sys.argv[2]) if len(sys.argv) > 2 else 4
@@ -80,6 +102,53 @@ def main() -> int:
         assert project_blob(blob, m) == project_doc(scalar), \
             f"projection mismatch at doc {trial}"
     print(f"equality: {n_docs} docs, fast==scalar and fused==generic")
+
+    # property 1b (r6): meta-block pool fast paths on LARGE pools — the
+    # small-doc loops above never cross _FAST_POOL_MIN, so drive random
+    # big docs (unique per-span ids/attrs ⇒ 100+-entry free-map, BYTES
+    # and string pools) through fast-on vs forced-scalar decode, valid
+    # AND corrupted: both must agree (equal output, or CodecError parity)
+    brng = np.random.default_rng(99)
+    n_big = max(60, n_docs // 25)
+    pool_mismatch = 0
+    for trial in range(n_big):
+        doc = _mkbig(brng)
+        blob = encode(doc, m)
+        fast_meta = D.decode_meta(blob, m)
+        saved_min = D._FAST_POOL_MIN
+        try:
+            D._FAST_POOL_MIN = 10 ** 9
+            scal_meta = D.decode_meta(blob, m)
+        finally:
+            D._FAST_POOL_MIN = saved_min
+        assert fast_meta[0] == scal_meta[0] \
+            and fast_meta[1] == scal_meta[1] \
+            and fast_meta[2].pos == scal_meta[2].pos, \
+            f"pool fast path mismatch at big doc {trial}"
+        end = blob.index(b"cprval") + 6
+        for pos in brng.integers(0, end, size=25):
+            mask = int(MASKS[int(brng.integers(0, len(MASKS)))])
+            c = bytearray(blob)
+            c[pos] ^= mask
+            c = bytes(c)
+            try:
+                f_out, f_err = D.decode(c, m), None
+            except CodecError:
+                f_out, f_err = None, True
+            try:
+                D._FAST_POOL_MIN = 10 ** 9
+                try:
+                    s_out, s_err = D.decode(c, m), None
+                except CodecError:
+                    s_out, s_err = None, True
+            finally:
+                D._FAST_POOL_MIN = saved_min
+            if f_err != s_err or f_out != s_out:
+                pool_mismatch += 1
+                print(f"POOL DIVERGENCE big={trial} pos={pos} "
+                      f"mask={mask:#x}: fast_err={f_err} scalar_err={s_err}")
+    print(f"large pools: {n_big} docs × 25 meta corruptions, "
+          f"fast/scalar divergences: {pool_mismatch}")
 
     # every poison must fail projection when referenced: non-dict probe
     # (.get raises) or non-iterable hops (join raises)
@@ -137,7 +206,7 @@ def main() -> int:
                     print(f"ESCAPE blob={t} pos={pos} mask={mask:#x}: "
                           f"{type(e).__name__}: {e}")
     print(f"corruption: {total} mutations, non-CodecError escapes: {bad}")
-    return 1 if bad else 0
+    return 1 if (bad or pool_mismatch) else 0
 
 
 if __name__ == "__main__":

@@ -191,7 +191,8 @@ class TestWrongTypedPoolValues:
         with pytest.raises(CodecError, match="unexpected shape"):
             project_doc(decode(blob, m))
 
-    @pytest.mark.parametrize("poison", [5, {"hops": 7}])
+    @pytest.mark.parametrize("poison",
+                             [5, {"hops": 7}, "str-probe", [1, 2], 2.5])
     def test_unreferenced_bad_pool_entry_projects_on_both_paths(
             self, poison):
         """r4 verdict #4: a wrong-shaped pool entry that NO projected
@@ -217,7 +218,8 @@ class TestWrongTypedPoolValues:
         assert fast == generic
         assert fast[0][17] == 2  # both events counted
 
-    @pytest.mark.parametrize("poison", [5, {"hops": 7}])
+    @pytest.mark.parametrize("poison",
+                             [5, {"hops": 7}, "str-probe", [1, 2], 2.5])
     def test_referenced_bad_pool_entry_still_raises(self, poison):
         """The same wrong-shaped entry in the FIRST (projected) event must
         keep failing the typed way on both paths."""
@@ -234,3 +236,56 @@ class TestWrongTypedPoolValues:
             project_blob(blob, m)
         with pytest.raises(CodecError, match="unexpected shape"):
             project_doc(decode(blob, m))
+
+
+class TestPinnedFuzzSeeds:
+    """r5 verdict #8: one pinned seed from each offline fuzz property
+    (scripts/fuzz_codec.py) as fast deterministic regression — the 10s
+    codec subset catches a projector/decoder regression without the
+    5-minute campaign."""
+
+    def test_hostile_pool_campaign_seed7_prefix(self):
+        import numpy as np
+        from scripts.fuzz_codec import random_doc
+        m = trace_model()
+        poisons = (5, {"hops": 7}, "str-probe", [1, 2], 2.5)
+        hrng = np.random.default_rng(7)
+        for trial in range(40):
+            doc = random_doc(hrng)
+            spans = doc["resourceSpans"][0]["scopeSpans"][0]["spans"]
+            if not spans:
+                continue
+            sp = spans[int(hrng.integers(0, len(spans)))]
+            poison = poisons[int(hrng.integers(0, len(poisons)))]
+            referenced = bool(hrng.integers(0, 2))
+            bad_ev = {"timeUnixNano": 2, "name": "g",
+                      "attributes": {"probe": poison},
+                      "droppedAttributesCount": None}
+            ok_ev = {"timeUnixNano": 1, "name": "f",
+                     "attributes": {"phase": "connect"},
+                     "droppedAttributesCount": None}
+            sp["events"] = [bad_ev] if referenced else [ok_ev, bad_ev]
+            blob = encode(doc, m)
+            if referenced:
+                with pytest.raises(CodecError):
+                    project_blob(blob, m)
+                with pytest.raises(CodecError):
+                    project_doc(decode(blob, m))
+            else:
+                assert project_blob(blob, m) == \
+                    project_doc(decode(blob, m)), f"trial {trial}"
+
+    def test_byteflip_corruption_pinned_blob(self):
+        # every 7th position × all 8 campaign masks over one pinned blob:
+        # CodecError or success, never an escape (TypeError etc.)
+        m = trace_model()
+        blob = encode(_mkdoc(6), m)
+        for pos in range(0, len(blob), 7):
+            for mask in (0x01, 0x02, 0x40, 0x7F, 0x80, 0xC0, 0xFE, 0xFF):
+                c = bytearray(blob)
+                c[pos] ^= mask
+                try:
+                    decode(bytes(c), m)
+                    project_blob(bytes(c), m)
+                except CodecError:
+                    pass

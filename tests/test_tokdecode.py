@@ -250,3 +250,218 @@ class TestWalker:
         finally:
             plan.token_walker = saved
         assert fast == scalar
+
+
+# --------------------------------------------------------------------------
+# Meta-block pool fast paths (decoder._bytes_pool_fast / _str_pool_fast +
+# tokdecode.fast_free_map_pool): sound-by-verification — whenever the fast
+# path returns non-None it must equal the scalar parse bit-for-bit
+# (entries AND reader position), and every anomaly must fall back.
+# --------------------------------------------------------------------------
+
+def _bigspan(i: int) -> dict:
+    """Unique-per-span ids + attributes so every pool exceeds
+    decoder._FAST_POOL_MIN and the uniform fast paths engage."""
+    return {
+        "traceId": bytes.fromhex(f"{i:032x}"),
+        "spanId": bytes.fromhex(f"{i:016x}"),
+        "traceState": None,
+        "parentSpanId": None,
+        "name": f"GET /p/{i % 4}",
+        "kind": (i % 6) or None,
+        "startTimeUnixNano": SPAN_TS + i * 1_000_000,
+        "endTimeUnixNano": SPAN_TS + i * 1_000_000 + 5_000_000,
+        "attributes": {"http.url": f"https://h{i}.example/p/{i}",
+                       "http.status_code": 200 + (i % 97),
+                       "cache.hit": bool(i % 2)},
+        "droppedAttributesCount": None,
+        "events": None, "droppedEventsCount": None,
+        "links": None, "droppedLinksCount": None,
+        "status": {"message": None, "code": i % 3},
+    }
+
+
+def _bigdoc(n: int = 120) -> dict:
+    return {"resourceSpans": [{
+        "resource": {"attributes": {"service.name": "s"},
+                     "droppedAttributesCount": None},
+        "scopeSpans": [{
+            # None, not {}: empty free maps null-normalize on decode (O5)
+            # and this doc is compared against its own roundtrip
+            "scope": {"name": "x", "version": "0.1.0", "attributes": None,
+                      "droppedAttributesCount": None},
+            "spans": [_bigspan(i) for i in range(n)],
+            "schemaUrl": None,
+        }],
+        "schemaUrl": None,
+    }]}
+
+
+def _meta_both(blob, m):
+    """decode_meta with fast pool paths on, then forced scalar."""
+    fast = decoder_mod.decode_meta(blob, m)
+    saved = decoder_mod._FAST_POOL_MIN
+    try:
+        decoder_mod._FAST_POOL_MIN = 10 ** 9
+        scalar = decoder_mod.decode_meta(blob, m)
+    finally:
+        decoder_mod._FAST_POOL_MIN = saved
+    return fast, scalar
+
+
+class TestFastPools:
+    def test_uniform_pools_fast_equals_scalar(self):
+        m = trace_model()
+        blob = encode(_bigdoc(), m)
+        (sp_f, vp_f, r_f), (sp_s, vp_s, r_s) = _meta_both(blob, m)
+        assert sp_f == sp_s
+        assert vp_f == vp_s
+        assert r_f.pos == r_s.pos
+        assert decode(blob, m) == _bigdoc()
+
+    def test_fast_paths_actually_trigger(self, monkeypatch):
+        import compress_otel_collector_spark.codec.tokdecode as tok
+        m = trace_model()
+        blob = encode(_bigdoc(), m)
+        hits = {"free": 0, "bytes": 0, "str": 0}
+        real_free, real_bytes = tok.fast_free_map_pool, \
+            decoder_mod._bytes_pool_fast
+        real_str = decoder_mod._str_pool_fast
+
+        def spy_free(*a):
+            r = real_free(*a)
+            if r is not None:
+                hits["free"] += 1
+            return r
+
+        def spy_bytes(*a):
+            r = real_bytes(*a)
+            if r is not None:
+                hits["bytes"] += 1
+            return r
+
+        def spy_str(*a):
+            r = real_str(*a)
+            if r is not None:
+                hits["str"] += 1
+            return r
+
+        monkeypatch.setattr(tok, "fast_free_map_pool", spy_free)
+        monkeypatch.setattr(decoder_mod, "_bytes_pool_fast", spy_bytes)
+        monkeypatch.setattr(decoder_mod, "_str_pool_fast", spy_str)
+        decoder_mod.decode_meta(blob, m)
+        # span attributes pool (120 uniform free maps), traceId/spanId
+        # BYTES pools, and the string pool must all take the fast path
+        assert hits["free"] >= 1
+        assert hits["bytes"] >= 2
+        assert hits["str"] == 1
+
+    @pytest.mark.parametrize("where", [0, 60, 119])
+    @pytest.mark.parametrize("poison", [
+        {"http.url": "x", "extra": 1, "http.status_code": 1,
+         "cache.hit": True},                        # different key set
+        {"http.url": "x", "http.status_code": 2.5,
+         "cache.hit": True},                        # DOUBLE tag
+        {"http.url": "x", "http.status_code": {"nested": 1},
+         "cache.hit": True},                        # nested OBJECT tag
+        {"http.url": "x", "http.status_code": None,
+         "cache.hit": True},                        # null value (presence 0)
+        {"http.url": "x", "http.status_code": -(2 ** 56),
+         "cache.hit": True},                        # bit-63 9-byte varint
+        {"http.url": "x", "http.status_code": [1, 2],
+         "cache.hit": True},                        # ARRAY tag
+        {},                                          # empty map mid-pool
+    ])
+    def test_nonuniform_entry_falls_back_identically(self, where, poison):
+        m = trace_model()
+        doc = _bigdoc()
+        spans = doc["resourceSpans"][0]["scopeSpans"][0]["spans"]
+        spans[where]["attributes"] = poison
+        blob = encode(doc, m)
+        (sp_f, vp_f, r_f), (sp_s, vp_s, r_s) = _meta_both(blob, m)
+        assert vp_f == vp_s
+        assert r_f.pos == r_s.pos
+        if poison == {}:  # empty free maps null-normalize on decode (O5)
+            spans[where]["attributes"] = None
+        assert decode(blob, m) == doc
+
+    def test_all_empty_maps_pool(self):
+        # uniform cnt0 == 0 pattern: every span has {} attributes — the
+        # pool still dedups to ONE entry (< _FAST_POOL_MIN), so force the
+        # kernel directly on a synthetic uniform region
+        from compress_otel_collector_spark.codec.tokdecode import (
+            fast_free_map_pool,
+        )
+        data = b"\x00" * 100  # 100 empty-map entries: count token 0 each
+        res = fast_free_map_pool(data, 0, 100, [])
+        assert res == ([{} for _ in range(100)], 100)
+
+    def test_empty_first_entry_mixed_pool_falls_back(self):
+        # regression (r6): entry 0 == {} but entry 1 non-empty MUST NOT
+        # take the cnt0==0 early return — that would decode every entry
+        # as {} and misposition the reader
+        from compress_otel_collector_spark.codec.tokdecode import (
+            fast_free_map_pool,
+        )
+        # entry 0: {}; entries 1..99: {key0: int 1}  (key idx 0, presence
+        # 0x01, INTEGER tag, value 1)
+        from compress_otel_collector_spark.codec.definition import INTEGER
+        one = bytes([1, 0, 1, INTEGER, 1])
+        data = b"\x00" + one * 99
+        assert fast_free_map_pool(data, 0, 100, ["key0"]) is None
+
+    def test_meta_corruption_parity(self):
+        # byte-flips in the meta block: fast-on and forced-scalar decode
+        # must agree — both CodecError, or equal values (soundness of the
+        # verified fast paths under corruption)
+        m = trace_model()
+        blob = encode(_bigdoc(), m)
+        end = blob.index(b"cprval") + 6
+        rng = np.random.default_rng(20260817)
+        for pos in rng.integers(0, end, size=60):
+            for mask in (0x01, 0x80, 0xFF):
+                c = bytearray(blob)
+                c[pos] ^= mask
+                c = bytes(c)
+                try:
+                    fast = decode(c, m)
+                    fast_err = None
+                except CodecError as e:
+                    fast, fast_err = None, str(e)
+                saved = decoder_mod._FAST_POOL_MIN
+                try:
+                    decoder_mod._FAST_POOL_MIN = 10 ** 9
+                    try:
+                        scalar = decode(c, m)
+                        scalar_err = None
+                    except CodecError:
+                        scalar, scalar_err = None, "err"
+                finally:
+                    decoder_mod._FAST_POOL_MIN = saved
+                assert (fast_err is None) == (scalar_err is None), \
+                    f"pos={pos} mask={mask:#x}: fast_err={fast_err!r}"
+                if fast_err is None:
+                    assert fast == scalar, f"pos={pos} mask={mask:#x}"
+
+    def test_negative_length_prefix_rejected(self):
+        # r6 fuzz find: mask 0x40 on a length prefix makes it a NEGATIVE
+        # sleb128 value — scalar raises CodecError; the fast path must
+        # fall back (return None), never treat the raw byte as unsigned
+        assert decoder_mod._bytes_pool_fast(b"\x50" + b"a" * 90, 0, 1) \
+            is None
+        # uniform-looking pool of negative prefixes: same rejection
+        assert decoder_mod._bytes_pool_fast(b"\x41a" * 70, 0, 70) is None
+
+    def test_two_byte_length_prefix_long_strings(self):
+        # strings ≥ 64 bytes carry a 2-byte varint prefix — the loop path
+        # must parse them (not punt the whole pool to scalar)
+        from compress_otel_collector_spark.codec.varint import (
+            encode_sleb128,
+        )
+        entries = [b"x" * ln for ln in (3, 64, 200, 8191, 0)]
+        wire = b"".join(encode_sleb128(len(e)) + e for e in entries)
+        assert decoder_mod._bytes_pool_fast(wire, 0, len(entries)) == \
+            (entries, len(wire))
+        # ≥3-byte prefix (length 8192) → fall back
+        wire2 = encode_sleb128(8192) + b"y" * 8192
+        assert decoder_mod._bytes_pool_fast(wire2, 0, 1) is None
