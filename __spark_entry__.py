@@ -709,6 +709,13 @@ def _q_codec_roundtrip(spark, sf_dir):
     events (time/name/attributes), links, resource attrs, scope — crosses
     the equality gate, in ONE Spark job (r1 verdict: the old shape ran 3
     actions over an unpersisted lineage and re-encoded everything 3×).
+
+    The union reads ``enriched`` on both branches; the narrow
+    scan+parse+enrich recomputes rather than persisting — measured ~7%
+    faster at bench scale (the materialization barrier costs more than
+    the recompute), and at 100 TB a doubled narrow parquet-scan stage is
+    2× compute, not a scale hazard, while persisting the parsed planet
+    to executor storage is.
     """
     pages = pages_from_documents(spark, sf_dir)
     enriched = enrich_stage(parse_stage(pages), spark)

@@ -345,13 +345,24 @@ def _plan_for(definition: Definition) -> _Plan:
     return plan
 
 
-def decode_meta(blob: bytes, definition: Definition):
+def decode_meta(blob: bytes, definition: Definition,
+                col_pools: frozenset | set | None = None):
     """Decode the meta block (string pool + value pools) and verify magic.
 
     Returns ``(string_pool, value_pools, reader)`` with the reader
     positioned at the first data-region byte — the shared prefix of
     :func:`decode` and any specialized data-region consumer (e.g. the
     roundtrip projector in ``plans/projector.py``).
+
+    ``col_pools``: free-map pool ids whose caller consumes COLUMNS, not
+    dicts — when the vectorized path succeeds for such a pool, its
+    ``value_pools`` slot holds a :class:`tokdecode.FreeMapCols` instead
+    of a list of dicts (the per-entry dict build is the dominant decode
+    cost on large attribute pools). Only safe for pools that no OTHER
+    pool's scalar decode closure dereferences (the span-attributes pool
+    qualifies: it is referenced from the data region only); on fallback
+    the slot holds plain dicts, so callers must handle both. ``None``
+    (the default, used by :func:`decode`) keeps every pool dict-form.
     """
     plan = _plan_for(definition)
     r = _Reader(bytes(blob))
@@ -379,9 +390,12 @@ def decode_meta(blob: bytes, definition: Definition):
             # string pool are ~95% of decode_meta on pipeline blobs.
             res = None
             if pool_id in plan.free_map_pools:
-                from .tokdecode import fast_free_map_pool
+                from .tokdecode import fast_free_map_cols, fast_free_map_pool
 
-                res = fast_free_map_pool(r.data, r.pos, cnt, string_pool)
+                if col_pools is not None and pool_id in col_pools:
+                    res = fast_free_map_cols(r.data, r.pos, cnt, string_pool)
+                else:
+                    res = fast_free_map_pool(r.data, r.pos, cnt, string_pool)
             elif pool_id in plan.bytes_pools:
                 res = _bytes_pool_fast(r.data, r.pos, cnt)
             if res is not None:

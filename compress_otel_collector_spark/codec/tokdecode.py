@@ -230,6 +230,36 @@ def _scan_values(b: np.ndarray, max_tokens: int | None = None):
     return vals.view(np.int64), lengths, ends
 
 
+class FreeMapCols:
+    """Column-form result of :func:`fast_free_map_cols`: ``keys[j]`` names
+    column ``cols[j]`` (a plain list of ``n`` scalars). Consumers that
+    only need a projection of each map (``plans/projector.py``) read the
+    columns directly and never pay the per-entry dict build — the
+    dominant cost of decoding a large attributes pool."""
+
+    __slots__ = ("keys", "cols", "n")
+
+    def __init__(self, keys, cols, n):
+        self.keys = keys
+        self.cols = cols
+        self.n = n
+
+    def __len__(self):  # _pool_fail renders "out of range 0..n-1"
+        return self.n
+
+    def dicts(self) -> list:
+        if not self.keys:
+            return [{} for _ in range(self.n)]
+        return [dict(zip(self.keys, row)) for row in zip(*self.cols)]
+
+
+def fast_free_map_cols(data: bytes, pos: int, n: int, string_pool: list):
+    """Column-form variant of :func:`fast_free_map_pool`: returns
+    ``(FreeMapCols, new_pos)`` or ``None`` under exactly the same
+    soundness conditions (the docstring below)."""
+    return _fast_free_map(data, pos, n, string_pool)
+
+
 def fast_free_map_pool(data: bytes, pos: int, n: int, string_pool: list):
     """Vectorized decode of ``n`` uniform free-map pool entries.
 
@@ -256,6 +286,16 @@ def fast_free_map_pool(data: bytes, pos: int, n: int, string_pool: list):
     corruption) inside the consumed range and out-of-range string-pool
     indices also abort to scalar, which reports the canonical CodecError.
     """
+    res = _fast_free_map(data, pos, n, string_pool)
+    if res is None:
+        return None
+    fc, p = res
+    return fc.dicts(), p
+
+
+def _fast_free_map(data: bytes, pos: int, n: int, string_pool: list):
+    """Shared kernel: ``(FreeMapCols, new_pos)`` or ``None`` — soundness
+    argument in :func:`fast_free_map_pool`'s docstring."""
     b = np.frombuffer(data, dtype=np.uint8, count=len(data) - pos,
                       offset=pos)
     if b.size == 0:
@@ -317,8 +357,7 @@ def fast_free_map_pool(data: bytes, pos: int, n: int, string_pool: list):
     if not np.all(m[:, 0] == cnt0):
         return None
     if cnt0 == 0:
-        entries: list = [{} for _ in range(n)]
-        return entries, pos + int(ends[total - 1]) + 1
+        return FreeMapCols([], [], n), pos + int(ends[total - 1]) + 1
     kc = np.asarray(key_cols)
     if not np.all(m[:, kc] == np.asarray(keys0)):
         return None
@@ -348,8 +387,7 @@ def fast_free_map_pool(data: bytes, pos: int, n: int, string_pool: list):
                 return None
             sp = string_pool
             cols.append([sp[x] for x in v.tolist()])
-    entries = [dict(zip(key_strs, row)) for row in zip(*cols)]
-    return entries, pos + int(ends[total - 1]) + 1
+    return FreeMapCols(key_strs, cols, n), pos + int(ends[total - 1]) + 1
 
 
 # --------------------------------------------------------------------------

@@ -43,7 +43,7 @@ from __future__ import annotations
 
 from ..codec.decoder import decode_meta
 from ..codec.definition import Definition
-from ..codec.tokdecode import _pool_fail, tokenize
+from ..codec.tokdecode import FreeMapCols, _pool_fail, tokenize
 from ..codec.values import CodecError
 
 _SPANS = "resourceSpans item scopeSpans item spans item "
@@ -186,7 +186,11 @@ def project_blob(raw: bytes, model: Definition) -> list[tuple]:
     scalar-parsed segment-locally), so there is no whole-blob fallback;
     the generic path stays authoritative through the equality suites.
     """
-    _, vp, r = decode_meta(raw, model)
+    # the span-attributes pool arrives in column form when its vectorized
+    # decode succeeds (r6): the projector only needs a 4-field slice per
+    # entry, so the per-entry dict build — the dominant decode_meta cost
+    # on pipeline blobs — is skipped entirely
+    _, vp, r = decode_meta(raw, model, col_pools=_COL_POOLS)
     try:
         return _project_tokens(tokenize(r.data, r.pos), vp)
     except IndexError:
@@ -198,6 +202,34 @@ def project_blob(raw: bytes, model: Definition) -> list[tuple]:
             f"decoded pools have unexpected shape: {e}") from None
 
 
+#: pools project_blob consumes column-wise (safe: referenced from the
+#: data region only, never from another pool's decode closure)
+_COL_POOLS = frozenset({_ATTRS})
+
+#: the 4-field slice of a span-attributes entry, in tuple order
+_ATTR_FIELDS = ("http.url", "lang", "http.status_code", "n_chars")
+
+
+def _attrs_from_cols(fc: FreeMapCols) -> list[tuple]:
+    """(url, lang, http_status, n_chars) per entry straight from decoded
+    columns — no dicts, no per-entry ``.get``. Missing keys are a whole
+    missing COLUMN here (uniform pattern), so one ``[None] * n`` covers
+    them."""
+    idx = {k: j for j, k in enumerate(fc.keys)}
+    none_col = None
+
+    def col(k):
+        nonlocal none_col
+        j = idx.get(k)
+        if j is not None:
+            return fc.cols[j]
+        if none_col is None:
+            none_col = [None] * fc.n
+        return none_col
+
+    return list(zip(*(col(k) for k in _ATTR_FIELDS)))
+
+
 def _project_tokens(toks, vp) -> list[tuple]:
     g = vp.get
     res_proj = _proj(g(_RES, ()),
@@ -207,10 +239,14 @@ def _project_tokens(toks, vp) -> list[tuple]:
                                 .get("host.bucket")))
     scope_proj = _proj(g(_SCOPE, ()),
                        lambda e: (e.get("name"), e.get("version")))
-    attrs_proj = _proj(g(_ATTRS, ()),
-                       lambda a: (a.get("http.url"), a.get("lang"),
-                                  a.get("http.status_code"),
-                                  a.get("n_chars")))
+    ap = g(_ATTRS, ())
+    if type(ap) is FreeMapCols:
+        attrs_proj = _attrs_from_cols(ap)
+    else:
+        attrs_proj = _proj(ap,
+                           lambda a: (a.get("http.url"), a.get("lang"),
+                                      a.get("http.status_code"),
+                                      a.get("n_chars")))
     status_proj = _proj(g(_STATUS, ()),
                         lambda e: (e.get("message"), e.get("code")))
     tid_hex = _proj(g("traceId", ()), _hex_or_none)
