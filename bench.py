@@ -136,7 +136,7 @@ def run_pipeline_synth(spark, n_pages: int, arms: bool = True,
     return dt, int(row["pages"]), ratios
 
 
-def run_headline_queries(spark, sf_dir: str) -> dict[str, float]:
+def run_headline_queries(spark, sf_dir: str):
     """Per-query wall times, steady-state: a generic untimed warm-up first
     (JVM codegen + parquet reader + Python worker spin-up), so the first
     timed query doesn't carry ~6 s of one-time JIT cost that no production
@@ -164,13 +164,9 @@ def run_headline_queries(spark, sf_dir: str) -> dict[str, float]:
         "dedup_simhash", "embedding_topk", "token_count", "quality_score",
         "codec_roundtrip", "pipeline_sinks",
     ]
-    qs = entrymod.queries()
 
     def one(name):
-        t0 = time.time()
-        qs[name](spark, sf_dir).write.format("noop") \
-            .mode("overwrite").save()
-        return time.time() - t0
+        return time_query(spark, sf_dir, name)
 
     # One untimed warm pass per query (the one-time Janino/whole-stage-
     # codegen compile a long-lived engine pays once per session, not per
@@ -183,6 +179,12 @@ def run_headline_queries(spark, sf_dir: str) -> dict[str, float]:
     # way. The raw runs ride along in the JSON so any spread is visible.
     for name in names:
         one(name)
+    # throttle sentinel, first reading: the same fixed query is re-timed
+    # at the very end of the bench (main()), and the last/first ratio is
+    # emitted so a uniform round-over-round drift in the driver's record
+    # is attributable to the documented progressive host throttle instead
+    # of masquerading as a code regression
+    sentinel_first = one(SENTINEL_QUERY)
     runs: dict[str, list[float]] = {name: [] for name in names}
     for _ in range(3):
         for name in names:
@@ -192,7 +194,21 @@ def run_headline_queries(spark, sf_dir: str) -> dict[str, float]:
     out = {name: round(statistics.median(rs), 3)
            for name, rs in runs.items()}
     return out, {name: [round(r, 3) for r in rs]
-                 for name, rs in runs.items()}
+                 for name, rs in runs.items()}, sentinel_first
+
+
+#: the fixed query re-timed at bench start and end (throttle sentinel)
+SENTINEL_QUERY = "tpch_q1"
+
+
+def time_query(spark, sf_dir: str, name: str) -> float:
+    """Wall time of one registered query as a noop-sink write."""
+    import __spark_entry__ as entrymod
+
+    t0 = time.time()
+    entrymod.queries()[name](spark, sf_dir).write.format("noop") \
+        .mode("overwrite").save()
+    return time.time() - t0
 
 
 #: Fixed reduce-partition count for the scaling levels. On a real cluster
@@ -283,16 +299,22 @@ def scaling_runs(n_pages: int, visits: int = 5):
         }
     # saturated headline is PLAIN local[32] — default (data×core-sized)
     # partitions, not the pinned scaling layout, so it measures what the
-    # host can actually do and stays comparable across rounds
-    sat = one_visit(CPUS, 1, parts=None)
-    results["local32_saturated"] = {
-        "cores": CPUS,
-        "slots": CPUS,
-        "pages": n_pages,
-        "pages_per_sec": round(sat, 1),
-        "sec": round(n_pages / sat, 2),
-        "runs": [round(sat, 1)],
-    }
+    # host can actually do and stays comparable across rounds; the pinned
+    # variant is ALSO measured so every number in the unified throughput
+    # table regenerates from one campaign (r5 published it from an ad-hoc
+    # cooled-host run, which left the table unable to self-refresh)
+    for label, parts in (("local32_saturated", None),
+                         ("local32_pinned", SCALING_PARTITIONS)):
+        sat_runs = [one_visit(CPUS, 1, parts=parts) for _ in range(3)]
+        med = statistics.median(sat_runs)
+        results[label] = {
+            "cores": CPUS,
+            "slots": CPUS,
+            "pages": n_pages,
+            "pages_per_sec": round(med, 1),
+            "sec": round(n_pages / med, 2),
+            "runs": [round(t, 1) for t in sat_runs],
+        }
     eff = round(
         (results["4_executors"]["pages_per_sec"]
          / results["1_executor"]["pages_per_sec"]) / 4.0, 3)
@@ -366,6 +388,21 @@ count is data-sized, not cluster-sized.
 """
 
 
+def _sat_row(results, key):
+    """The input/layout/discipline/pages-s cells of one unified-table row."""
+    r = results.get(key)
+    if not r:
+        return "not measured this campaign | — | — | —"
+    layout = ("default + AQE" if key == "local32_saturated"
+              else f"{SCALING_PARTITIONS} partitions pinned")
+    if key in ("1_executor", "4_executors"):
+        disc = (f"ABAB-interleaved across {len(r['runs'])} fresh sessions, "
+                "median")
+    else:
+        disc = f"median of {len(r['runs'])} fresh-session visits"
+    return f"{r['pages']:,} | {layout} | {disc} | {r['pages_per_sec']:,.1f}"
+
+
 def write_baseline_md(results, eff, pipeline_sec, pages, ratios,
                       ratios_real, mech=None, notes: str = ""):
     """Regenerates BENCH/BASELINE.md in full. ``notes`` is extra markdown
@@ -383,17 +420,42 @@ deployment shape of the 10^12-row Iceberg input. Pipeline under test:
 parse → enrich → encode (value-tree dictionary codec) → zstd → route
 aggregate (`plans.pipeline`), no comparison arms during scaling runs.
 
-## Throughput (headline, local[{CPUS}], production pipeline — no arms)
+## Throughput — ONE table, every published methodology
 
-| metric | value |
-|---|---|
-| pages | {pages} |
-| wall sec | {pipeline_sec:.2f} |
-| pages/sec | {pages / pipeline_sec:,.0f} |
+Every pages/s figure quoted in this repo (here, BASELINE.md, the
+round-recorded BENCH_r{{N}}.json) comes from one of these rows; a number
+not in this table should not be quoted. All rows run the identical
+production pipeline (no arms); they differ only in input size, partition
+layout, and session discipline — which is the whole spread.
 
-(The comparison arms marshal every span three extra ways — JSON, OTLP
-protobuf, Arrow IPC — and are timed separately as `pipeline_arms` in the
-bench JSON; they are measurement diagnostics, not pipeline stages.)
+| methodology | input | layout | session discipline | pages/s |
+|---|---|---|---|---|
+| in-session bench (`python bench.py`, this campaign's run) | {pages:,} | default + AQE | warm local[{CPUS}] session, median of 3 | {pages / pipeline_sec:,.0f} |
+| driver-recorded bench JSON (`BENCH_r{{N}}.json pages_per_sec`) | {pages:,} | default + AQE | same as above, separate session — differs from row 1 by host-throttle state only (see the sentinel) | per round |
+| saturated host, plain layout | {_sat_row(results, 'local32_saturated')} |
+| saturated host, pinned scaling layout ({SCALING_PARTITIONS} partitions) | {_sat_row(results, 'local32_pinned')} |
+| 1 executor slot (scaling level N) | {_sat_row(results, '1_executor')} |
+| 4 executor slots (scaling level 4N) | {_sat_row(results, '4_executors')} |
+
+The pinned layout is per-page cheaper than the plain one (fewer reduce
+partitions ⇒ fewer, larger blobs ⇒ better header/pool amortization — the
+mechanism section below measures it); both are published rather than
+cherry-picking either. The comparison arms marshal every span three
+extra ways — JSON, OTLP protobuf, Arrow IPC — and are timed separately
+as `pipeline_arms` in the bench JSON; they are measurement diagnostics,
+not pipeline stages.
+
+## Throttle sentinel (`throttle_sentinel` in the bench JSON)
+
+The host throttles progressively under sustained load (multi-second
+bursts, uniform drift across queries — r5's record drifted +5–32% on
+untouched queries). The bench re-times ONE fixed query
+(`{SENTINEL_QUERY}`) immediately after warm-up and again as the very
+last measurement; `ratio = last/first` calibrates how much of any
+round-over-round drift in the other queries is accumulated host slowdown
+rather than a code change. Read a BENCH_r{{N}} comparison as: drift ≲ the
+sentinel ratio is environmental; drift well beyond it on a query whose
+code changed is real.
 
 ## Compression arms (reference parity: trace.go:40-181)
 
@@ -468,7 +530,7 @@ the only serial work is job scheduling + the final count aggregation.
 def main():
     scaling = "--scaling" in sys.argv
     spark = make_spark(CPUS)
-    queries, query_runs = run_headline_queries(spark, SF_DIR)
+    queries, query_runs, sentinel_first = run_headline_queries(spark, SF_DIR)
     import statistics
 
     run_pipeline_synth(spark, N_SYNTH, arms=False)  # warm (JIT + workers)
@@ -496,6 +558,10 @@ def main():
     # compression for both shapes, honestly labeled
     _, _, ratios_real = run_pipeline_synth(spark, N_SYNTH, arms=True,
                                            realistic=True)
+    # throttle sentinel, closing reading (see run_headline_queries): the
+    # ratio calibrates how much of any round-over-round drift in the
+    # OTHER queries is host slowdown accumulated across the bench run
+    sentinel_last = time_query(spark, SF_DIR, SENTINEL_QUERY)
     spark.stop()
 
     result = {
@@ -505,6 +571,12 @@ def main():
         "unit": "sec",
         "queries": queries,
         "query_runs": query_runs,
+        "throttle_sentinel": {
+            "query": SENTINEL_QUERY,
+            "first_sec": round(sentinel_first, 3),
+            "last_sec": round(sentinel_last, 3),
+            "ratio": round(sentinel_last / sentinel_first, 3),
+        },
         "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
         "pages": pages,
         "pages_per_sec": round(pages / pipe_sec, 1),
