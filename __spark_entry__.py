@@ -9,6 +9,7 @@ names and value rounding are kept in lockstep between the two sides.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
@@ -690,7 +691,14 @@ def _q_quality_score(spark, sf_dir):
 
 
 def _q_token_count(spark, sf_dir):
-    return token_stats(load_table(spark, sf_dir, "documents"))
+    """Per-doc token accounting: whitespace, the ceil(len/4) proxy, AND
+    the real deterministic byte-level BPE count (operators/bpe.py; r5
+    verdict #5). The twin recomputes ws/proxy/chars from the documents
+    view and joins the BPE column from a scalar-Python side table keyed
+    by md5(text) — the multimodal pattern: kernel pinned in pytest,
+    oracle verifies the distributed plumbing per doc."""
+    return token_stats(load_table(spark, sf_dir, "documents"),
+                       subword=True)
 
 
 def _q_fingerprint(spark, sf_dir):
@@ -1118,7 +1126,58 @@ def _minhash_sql(num_hashes: int = 8, bands: int = 2,
     )
 
 
+#: side table for the token_count twin — per-text BPE counts computed by
+#: SCALAR Python (no Spark), keyed by md5(text) so one static SQL string
+#: works at every sf. Rebuilt fresh on every oracle_sql() call (~0.2s for
+#: all three sf dirs) so it can never go stale against the merges table.
+_BPE_SIDE_PATH = "/tmp/spark_graft_bpe_side.parquet"
+
+#: extra documents dirs to fold into the side table on every rebuild —
+#: test harnesses (e.g. the differential fuzz corpus) register their
+#: tmp dirs here so oracle_sql()'s fresh rebuild keeps covering them
+_BPE_SIDE_EXTRA_DIRS: set[str] = set()
+
+
+def _write_bpe_side_table(path: str = _BPE_SIDE_PATH) -> None:
+    """Materialize (text_md5, bpe_tokens) over every distinct document
+    text in the three testdata sf dirs, plus the empty string (the NULL
+    key after COALESCE). This is the twin's independent count source —
+    same pinned-kernel contract as multimodal's sha256 (the kernel is
+    pinned by golden ids + merges checksum in tests/test_bpe.py; the
+    oracle then verifies the DISTRIBUTED plumbing: Spark's Arrow-batched
+    pandas UDF over every partition must agree with a driver-side scalar
+    recomputation keyed purely by content)."""
+    import hashlib as _hashlib
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from compress_otel_collector_spark.operators.bpe import bpe_count
+
+    texts = {""}
+    dirs = [f"/root/testdata/{sf}" for sf in
+            ("sf0.001", "sf0.01", "sf0.1")]
+    dirs += sorted(_BPE_SIDE_EXTRA_DIRS)
+    for d in dirs:
+        f = f"{d}/documents.parquet"
+        if os.path.exists(f):
+            texts.update(
+                t or "" for t in
+                _pq.read_table(f, columns=["text"]).column("text")
+                .to_pylist())
+    rows = sorted(
+        (_hashlib.md5(t.encode("utf-8")).hexdigest(), bpe_count(t))
+        for t in texts)
+    tmp = f"{path}.tmp{os.getpid()}"
+    _pq.write_table(_pa.table({
+        "text_md5": [r[0] for r in rows],
+        "bpe_tokens": _pa.array([r[1] for r in rows], _pa.int64()),
+    }), tmp)
+    os.replace(tmp, path)  # atomic: concurrent readers see old or new
+
+
 def oracle_sql() -> dict[str, str]:
+    _write_bpe_side_table()
     return {
         "parse_extract": f"""
             SELECT doc_id,
@@ -1672,16 +1731,28 @@ def oracle_sql() -> dict[str, str]:
                           THEN 0.2 ELSE 0.0 END), 4) AS quality
             FROM m
         """,
-        "token_count": _TOKS_CTE + """
+        # real-BPE column: joined per doc from the scalar-Python side
+        # table (_write_bpe_side_table) on md5(text) — content-keyed, so
+        # the same static string is correct at every sf; an INNER join,
+        # so a missing key shows up as a row-count mismatch, never a
+        # silently-absent value
+        "token_count": f"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split(text, ' '),
+                                   t -> t <> '') AS t,
+                       length(text) AS n_chars,
+                       md5(coalesce(text, '')) AS text_md5
+                FROM documents)
             SELECT doc_id,
                    CAST(len(t) AS BIGINT) AS ws_tokens,
                    CAST(coalesce(list_sum(list_transform(t,
                         x -> CAST(ceil(length(x) / 4.0) AS BIGINT))), 0)
                         AS BIGINT) AS bpe_ish_tokens,
-                   CAST(length(
-                       (SELECT text FROM documents d2
-                        WHERE d2.doc_id = toks.doc_id)) AS BIGINT) AS n_chars
+                   CAST(b.bpe_tokens AS BIGINT) AS bpe_tokens,
+                   CAST(n_chars AS BIGINT) AS n_chars
             FROM toks
+            JOIN read_parquet('{_BPE_SIDE_PATH}') b USING (text_md5)
         """,
         "fingerprint": """
             SELECT doc_id, substr(md5(text), 1, 16) AS fingerprint

@@ -1,0 +1,111 @@
+"""Deterministic byte-level BPE (operators/bpe.py).
+
+The merges table is trained at import from a fixed corpus; the checksum
+test pins it so ANY drift (corpus edit, tie-break change, pre-tokenizer
+change) fails here rather than silently changing every downstream token
+count. Byte-level base alphabet ⇒ lossless on arbitrary unicode — the
+hypothesis roundtrip is the strongest single property a tokenizer has.
+"""
+
+import hashlib
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from compress_otel_collector_spark.operators import bpe
+
+
+class TestMergesTable:
+    def test_pinned_checksum_and_size(self):
+        assert bpe.vocab_size() == 512
+        assert len(bpe.MERGES) == 256
+        assert hashlib.sha256(
+            repr(bpe.MERGES).encode()).hexdigest()[:16] == "d2034baf627279a5"
+
+    def test_first_merges_are_english_glue(self):
+        # ' t', 'he', ' t'+'he' = ' the' — the most frequent English units;
+        # also a readability check that training ran over the right corpus
+        assert bpe.MERGES[0] == (32, 116)
+        assert bpe.MERGES[1] == (104, 101)
+        assert bpe.MERGES[2] == (256, 257)
+
+    def test_retrain_is_deterministic(self):
+        assert tuple(bpe._train_merges(bpe._TRAIN_CORPUS, bpe.N_MERGES)) \
+            == bpe.MERGES
+
+
+class TestEncode:
+    def test_golden_ids(self):
+        assert bpe.bpe_encode("the quick brown fox") == \
+            [297, 390, 423, 484, 460, 370]
+        assert bpe.bpe_encode("tokenization works") == \
+            [316, 337, 421, 272, 105, 294, 319, 107, 115]
+        assert bpe.bpe_count("https://www.example.com/path?id=99") == 19
+
+    @given(st.text(max_size=200))
+    @settings(max_examples=300, deadline=None)
+    def test_lossless_roundtrip(self, s):
+        assert bpe.bpe_decode(bpe.bpe_encode(s)) == s
+
+    @given(st.text(alphabet=st.characters(min_codepoint=32,
+                                          max_codepoint=127), max_size=300))
+    @settings(max_examples=200, deadline=None)
+    def test_count_bounds(self, s):
+        n = bpe.bpe_count(s)
+        assert n == len(bpe.bpe_encode(s))
+        assert n <= len(s.encode("utf-8"))          # merges only shrink
+        if s.strip():
+            assert n >= len(bpe._PRETOK.findall(s)) > 0
+
+    def test_cache_consistency(self):
+        # the lru_cache must be a pure memo: cold and warm agree
+        s = "the tokenizer caches pre-tokens across calls"
+        warm = bpe.bpe_encode(s)
+        bpe._encode_pretoken.cache_clear()
+        assert bpe.bpe_encode(s) == warm
+
+    def test_empty_and_whitespace(self):
+        assert bpe.bpe_encode("") == []
+        assert bpe.bpe_count("") == 0
+        assert bpe.bpe_decode(bpe.bpe_encode("  \t\n ")) == "  \t\n "
+
+
+@pytest.mark.usefixtures("spark")
+class TestSparkCounts:
+    def test_counts_match_scalar_and_partition_invariant(self, spark):
+        rows = [(i, t) for i, t in enumerate([
+            "the quick brown fox", "tokenization works", "",
+            "https://www.example.com/path?id=99",
+            "café ☃ unicode", None, "the the the the"])]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: r["bpe_tokens"]
+               for r in bpe.bpe_token_counts(df).collect()}
+        exp = {i: (bpe.bpe_count(t) if t else 0) for i, t in rows}
+        assert got == exp
+        got7 = {r["doc_id"]: r["bpe_tokens"]
+                for r in bpe.bpe_token_counts(df.repartition(7)).collect()}
+        assert got7 == exp
+
+    def test_plan_is_narrow(self, spark):
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        plan = bpe.bpe_token_counts(df)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "Exchange" not in plan  # map-only: no shuffle at any scale
+
+    def test_token_stats_subword_column_and_plan(self, spark):
+        """token_stats(subword=True): real BPE rides the same narrow
+        projection as the JVM columns — one ArrowEvalPython, zero
+        shuffles — and the values match the scalar kernel."""
+        from compress_otel_collector_spark.operators.textstats import (
+            token_stats)
+        rows = [(1, "the quick brown fox"), (2, ""), (3, None)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = token_stats(df, subword=True)
+        assert out.columns == ["doc_id", "ws_tokens", "bpe_ish_tokens",
+                               "bpe_tokens", "n_chars"]
+        got = {r["doc_id"]: r["bpe_tokens"] for r in out.collect()}
+        assert got == {1: bpe.bpe_count("the quick brown fox"), 2: 0, 3: 0}
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert plan.count("ArrowEvalPython") == 1

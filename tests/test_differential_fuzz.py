@@ -75,6 +75,9 @@ def fuzz_dir(spark, tmp_path_factory):
     out = tmp_path_factory.mktemp("fuzz")
     # single parquet FILE (the testdata layout both engines read directly)
     pdf.to_parquet(str(out / "documents.parquet"), index=False)
+    # token_count's twin joins BPE counts from the content-keyed side
+    # table; register this corpus so every oracle_sql() rebuild covers it
+    entrymod._BPE_SIDE_EXTRA_DIRS.add(str(out))
     return str(out)
 
 
