@@ -167,10 +167,18 @@ def _json_arm_bytes(spans: pd.DataFrame) -> bytes:
         json_view = spans.assign(
             trace_id=hex_tid, span_id=hex_sid, parent_span_id="",
             links=links_view)
+        if "attributes" in json_view.columns:
+            json_view = json_view.drop(columns=["attributes"])
         return json_view.to_json(orient="records").encode()
     n = len(spans)
     cols: dict = {}
     for c in spans.columns:
+        if c == "attributes":
+            # attribute content rides the attr:* columns; a raw
+            # 'attributes' column would double-serialize it and skew
+            # json_zstd_bytes vs the proto arm (mirrors the arrow arm's
+            # exclusion list)
+            continue
         if c == "trace_id":
             cols[c] = hex_tid.tolist()
         elif c == "span_id":
@@ -247,6 +255,123 @@ def _span_links_cells(doc_ids, trace_ids, links_every: int = 7):
     return ln
 
 
+def _group_spans_frame(g: pd.DataFrame, lang, bucket,
+                       events_every: int, links_every: int):
+    """One route group → the span frame + attrs spec the codec encodes.
+
+    Shared by the hot loop (``_encode_batches``) and the arm profiler
+    (``scripts/profile_arms.py``) so the profiled path IS the shipped
+    path. Span-shape lockstep note (CLAUDE.md) applies here.
+    """
+    spans = pd.DataFrame({
+        c: g[c].to_numpy()
+        for c in ("trace_id", "span_id", "parent_span_id",
+                  "trace_state", "name", "kind", "start_ns",
+                  "end_ns", "dropped_attributes_count",
+                  "dropped_events_count", "dropped_links_count",
+                  "status_message", "status_code")
+    })
+    # columnar attributes (no per-row dict building): the codec
+    # encodes the free-map pool entries columnwise
+    spans["attr:http.url"] = g["url"].to_numpy()
+    spans["attr:http.status_code"] = 200
+    spans["attr:n_chars"] = g["n_chars"].to_numpy()
+    attrs_spec = {
+        "http.url": "str", "http.status_code": "int",
+        "n_chars": "int",
+    }
+    # a null-lang group (unmatched routing key) simply omits the
+    # attribute — free-map entries are absent, never null
+    if lang is not None and not pd.isna(lang):
+        spans["attr:lang"] = lang
+        attrs_spec["lang"] = "str"
+    doc_ids = g["doc_id"].to_numpy()
+    spans["events"] = _span_events_cells(
+        doc_ids, g["start_ns"].to_numpy(), events_every)
+    spans["links"] = _span_links_cells(
+        doc_ids, g["trace_id"].to_numpy(), links_every)
+    return spans, attrs_spec
+
+
+def _arm_sizes(spans: pd.DataFrame, lang, bucket, blob: bytes,
+               zstd, gzip, timings=None):
+    """Comparison-arm byte counts for one group: (gzip, proto+zstd,
+    json+zstd, arrow+zstd). ``timings`` (optional dict) accumulates
+    per-component seconds — the profiler's hook; the hot path passes
+    None and pays only a handful of perf_counter calls per group."""
+    import time as _time
+
+    import pyarrow as pa
+
+    t0 = _time.perf_counter()
+    gz = len(gzip.compress(blob, asbytes=True))
+    t1 = _time.perf_counter()
+    # protobuf arm — the reference's REAL comparison
+    # (trace.go:41-67: ptrace ProtoMarshaler + zstd), full
+    # fidelity incl. events/links/attributes. Column-driven
+    # marshal (no per-row dicts); wire-equality with the
+    # row marshaler is pinned by tests.
+    lang_attr = (
+        {} if lang is None or pd.isna(lang)
+        else {"lang": lang})
+    proto = spans_columns_to_proto(
+        spans["trace_id"].to_numpy(),
+        spans["span_id"].to_numpy(),
+        spans["trace_state"].to_numpy(),
+        spans["name"].to_numpy(),
+        spans["kind"].to_numpy(),
+        spans["start_ns"].to_numpy(),
+        spans["end_ns"].to_numpy(),
+        spans["attr:http.url"].to_numpy(),
+        spans["attr:n_chars"].to_numpy(),
+        spans["events"].to_numpy(),
+        spans["links"].to_numpy(),
+        spans["dropped_links_count"].to_numpy(),
+        spans["status_message"].to_numpy(),
+        spans["status_code"].to_numpy(),
+        const_attrs={"http.status_code": 200, **lang_attr},
+        resource_attrs={
+            "service.name": f"crawler-{lang}",
+            "host.bucket": int(bucket),
+        },
+        scope=DEFAULT_SCOPE,
+    )
+    t2 = _time.perf_counter()
+    pz = len(zstd.compress(proto, asbytes=True))
+    t3 = _time.perf_counter()
+    # JSON marshal arm (the reference's JSONMarshaler
+    # comparison, trace.go:95-105): OTLP-JSON-style hex ids;
+    # attr:* columns carry the attribute content; events and
+    # links serialize too (full fidelity, like the codec)
+    js = _json_arm_bytes(spans)
+    t4 = _time.perf_counter()
+    jz = len(zstd.compress(js, asbytes=True))
+    t5 = _time.perf_counter()
+    # binary columnar arm (stand-in for the proto arm,
+    # trace.go:41-47): Arrow IPC stream + zstd. Direct
+    # pa.array construction — from_pandas pays index and
+    # pandas-metadata handling per group (measured 2.3× on
+    # the table build, ~2× on the whole arm)
+    sink = pa.BufferOutputStream()
+    tbl = pa.table({
+        c: pa.array(spans[c].to_numpy())
+        for c in spans.columns
+        if c not in ("attributes", "events", "links")
+    })
+    with pa.ipc.new_stream(sink, tbl.schema) as w:
+        w.write_table(tbl)
+    t6 = _time.perf_counter()
+    az = len(zstd.compress(sink.getvalue(), asbytes=True))
+    t7 = _time.perf_counter()
+    if timings is not None:
+        for k, v in (("gzip_blob", t1 - t0), ("proto_build", t2 - t1),
+                     ("proto_zstd", t3 - t2), ("json_build", t4 - t3),
+                     ("json_zstd", t5 - t4), ("arrow_build", t6 - t5),
+                     ("arrow_zstd", t7 - t6)):
+            timings[k] = timings.get(k, 0.0) + v
+    return gz, pz, jz, az
+
+
 def _encode_batches(arms: bool, events_every: int = 10,
                     links_every: int = 7):
     """Returns the mapInPandas function: Arrow batch → one blob per group.
@@ -274,33 +399,8 @@ def _encode_batches(arms: bool, events_every: int = 10,
             out = []
             for (lang, bucket), g in pdf.groupby(["lang", "host_bucket"],
                                                  sort=True, dropna=False):
-                spans = pd.DataFrame({
-                    c: g[c].to_numpy()
-                    for c in ("trace_id", "span_id", "parent_span_id",
-                              "trace_state", "name", "kind", "start_ns",
-                              "end_ns", "dropped_attributes_count",
-                              "dropped_events_count", "dropped_links_count",
-                              "status_message", "status_code")
-                })
-                # columnar attributes (no per-row dict building): the codec
-                # encodes the free-map pool entries columnwise
-                spans["attr:http.url"] = g["url"].to_numpy()
-                spans["attr:http.status_code"] = 200
-                spans["attr:n_chars"] = g["n_chars"].to_numpy()
-                attrs_spec = {
-                    "http.url": "str", "http.status_code": "int",
-                    "n_chars": "int",
-                }
-                # a null-lang group (unmatched routing key) simply omits the
-                # attribute — free-map entries are absent, never null
-                if lang is not None and not pd.isna(lang):
-                    spans["attr:lang"] = lang
-                    attrs_spec["lang"] = "str"
-                doc_ids = g["doc_id"].to_numpy()
-                spans["events"] = _span_events_cells(
-                    doc_ids, g["start_ns"].to_numpy(), events_every)
-                spans["links"] = _span_links_cells(
-                    doc_ids, g["trace_id"].to_numpy(), links_every)
+                spans, attrs_spec = _group_spans_frame(
+                    g, lang, bucket, events_every, links_every)
                 blob = encode_span_dataframe(
                     spans,
                     attributes_spec=attrs_spec,
@@ -311,58 +411,8 @@ def _encode_batches(arms: bool, events_every: int = 10,
                 )
                 blob_z = zstd.compress(blob, asbytes=True)
                 if arms:
-                    gz = len(gzip.compress(blob, asbytes=True))
-                    # protobuf arm — the reference's REAL comparison
-                    # (trace.go:41-67: ptrace ProtoMarshaler + zstd), full
-                    # fidelity incl. events/links/attributes. Column-driven
-                    # marshal (no per-row dicts); wire-equality with the
-                    # row marshaler is pinned by tests.
-                    lang_attr = (
-                        {} if lang is None or pd.isna(lang)
-                        else {"lang": lang})
-                    proto = spans_columns_to_proto(
-                        spans["trace_id"].to_numpy(),
-                        spans["span_id"].to_numpy(),
-                        spans["trace_state"].to_numpy(),
-                        spans["name"].to_numpy(),
-                        spans["kind"].to_numpy(),
-                        spans["start_ns"].to_numpy(),
-                        spans["end_ns"].to_numpy(),
-                        spans["attr:http.url"].to_numpy(),
-                        spans["attr:n_chars"].to_numpy(),
-                        spans["events"].to_numpy(),
-                        spans["links"].to_numpy(),
-                        spans["dropped_links_count"].to_numpy(),
-                        spans["status_message"].to_numpy(),
-                        spans["status_code"].to_numpy(),
-                        const_attrs={"http.status_code": 200, **lang_attr},
-                        resource_attrs={
-                            "service.name": f"crawler-{lang}",
-                            "host.bucket": int(bucket),
-                        },
-                        scope=DEFAULT_SCOPE,
-                    )
-                    pz = len(zstd.compress(proto, asbytes=True))
-                    # JSON marshal arm (the reference's JSONMarshaler
-                    # comparison, trace.go:95-105): OTLP-JSON-style hex ids;
-                    # attr:* columns carry the attribute content; events and
-                    # links serialize too (full fidelity, like the codec)
-                    js = _json_arm_bytes(spans)
-                    jz = len(zstd.compress(js, asbytes=True))
-                    # binary columnar arm (stand-in for the proto arm,
-                    # trace.go:41-47): Arrow IPC stream + zstd. Direct
-                    # pa.array construction — from_pandas pays index and
-                    # pandas-metadata handling per group (measured 2.3× on
-                    # the table build, ~2× on the whole arm)
-                    sink = pa.BufferOutputStream()
-                    tbl = pa.table({
-                        c: pa.array(spans[c].to_numpy())
-                        for c in spans.columns
-                        if c not in ("attributes", "events", "links")
-                    })
-                    with pa.ipc.new_stream(sink, tbl.schema) as w:
-                        w.write_table(tbl)
-                    az = len(zstd.compress(sink.getvalue(), asbytes=True))
+                    gz, pz, jz, az = _arm_sizes(
+                        spans, lang, bucket, blob, zstd, gzip)
                 else:
                     gz, jz, az, pz = -1, -1, -1, -1
                 out.append({
@@ -431,6 +481,17 @@ def encode_pages(enriched: DataFrame, n_salts: int = 16,
     and span counts, compressed size never worse, full-fidelity
     roundtrip).
     """
+    spans = _pre_encode_frame(enriched, n_salts, shuffle_partitions)
+    return spans.mapInPandas(_encode_batches(arms, events_every, links_every),
+                             schema=ENCODED_SCHEMA)
+
+
+def _pre_encode_frame(enriched: DataFrame, n_salts: int = 16,
+                      shuffle_partitions: Optional[int] = None) -> DataFrame:
+    """The frame ``encode_pages`` feeds to ``_encode_batches``: narrow
+    exchange, group-cohesion sort, span derivation. Shared with the arm
+    profiler (``scripts/profile_arms.py``) so profiled input == shipped
+    input."""
     narrow = enriched.select(
         "url", "lang", "host_bucket", "doc_id", "warc_ts",
         F.length(F.col("text_extracted")).cast("long").alias("n_chars_pre"),
@@ -450,11 +511,9 @@ def encode_pages(enriched: DataFrame, n_salts: int = 16,
     # blob count stays at the wide path's level; no extra exchange
     # (sortWithinPartitions is narrow).
     routed = routed.sortWithinPartitions("lang", "host_bucket", "doc_id")
-    spans = routed.select(
+    return routed.select(
         "url", "lang", "host_bucket", "doc_id",
         *span_columns("doc_id", n_chars_col="n_chars_pre"))
-    return spans.mapInPandas(_encode_batches(arms, events_every, links_every),
-                             schema=ENCODED_SCHEMA)
 
 
 def route_stage(encoded: DataFrame, out_dir: str,
