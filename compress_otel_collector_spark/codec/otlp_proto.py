@@ -291,6 +291,12 @@ def spans_columns_to_proto(
 
     ``const_attrs`` are attributes identical on every span of the batch
     (status code, lang); their KeyValue bytes are assembled once.
+
+    Contract: the dicts inside ``events``/``links`` cells must not be
+    mutated between rows within one call — the per-row suffix caches are
+    keyed by ``id()`` (cheap, correct for the pipeline's shared
+    never-mutated cell dicts), so an in-place mutation of a reused dict
+    would return the STALE wire bytes from its first encounter.
     """
     import numpy as np
 

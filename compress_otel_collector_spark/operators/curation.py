@@ -27,22 +27,25 @@ TRACKING_PARAMS = ("utm_source", "utm_medium", "utm_campaign", "utm_term",
 
 _TRK = "|".join(TRACKING_PARAMS)
 
-#: Canonicalization steps BEFORE the host-lowercase split, in order.
-#: Tracker removal is position-aware so the '?' repair can never fire on a
-#: URL that had no tracker (a query-less URL with a literal '&' in the
-#: path stays untouched), and the repair always lands on the FIRST
-#: surviving param, not the last:
+#: Canonicalization steps BEFORE the host-lowercase split, in order:
+#: (pattern, replacement, guard). A step with guard ``'?'`` applies only
+#: when its input still CONTAINS a '?' — the '&'-form tracker strip must
+#: not fire on a query-less URL where '&' is literal path content
+#: (http://h.com/a&utm_source=b has no query; stripping would
+#: false-merge it with http://h.com/a). Tracker removal is
+#: position-aware so the '?' repair can never fire on a URL that had no
+#: tracker, and the repair always lands on the FIRST surviving param:
 #:   1. drop the '#fragment'
-#:   2. non-leading trackers: '&trk=v' anywhere  -> ''
+#:   2. non-leading trackers: '&trk=v' anywhere  -> ''  (iff a '?' exists)
 #:   3. leading tracker with survivors: '?trk=v&' -> '?'
 #:   4. sole tracker: '?trk=v' at end            -> ''
 #:   5. dangling '?'                             -> ''
 _PRE_STEPS = (
-    (r"#.*$", ""),
-    (rf"(?i)&(?:{_TRK})=[^&#]*", ""),
-    (rf"(?i)\?(?:{_TRK})=[^&#]*&", "?"),
-    (rf"(?i)\?(?:{_TRK})=[^&#]*$", ""),
-    (r"\?$", ""),
+    (r"#.*$", "", None),
+    (rf"(?i)&(?:{_TRK})=[^&#]*", "", "?"),
+    (rf"(?i)\?(?:{_TRK})=[^&#]*&", "?", None),
+    (rf"(?i)\?(?:{_TRK})=[^&#]*$", "", None),
+    (r"\?$", "", None),
 )
 
 #: scheme://host prefix (the only case-insensitive region of a URL)
@@ -58,6 +61,25 @@ _POST_STEPS = (
 )
 
 
+def _assert_sql_safe(pat: str, rep: str) -> None:
+    """Emit-time guard for the SQL twin emitters: patterns and
+    replacements are interpolated into single-quoted DuckDB literals
+    with NO escaping, and the ``$N`` -> ``\\N`` group-ref translation is
+    a blind ``str.replace`` — a future step-table entry containing a
+    single quote (or a replacement with a non-group-ref ``$``) would
+    silently emit broken or wrong oracle SQL. Fail loudly here instead."""
+    import re as _re
+
+    if "'" in pat or "'" in rep:
+        raise ValueError(
+            f"step table entry contains a single quote, which the SQL "
+            f"twin emitters do not escape: pat={pat!r} rep={rep!r}")
+    if not _re.fullmatch(r"[$\d<>A-Za-z?]*", rep):
+        raise ValueError(
+            f"replacement {rep!r} outside the emitter-safe charset "
+            r"[$\d<>A-Za-z?] — extend the twin emitters before using it")
+
+
 def canonical_url(url_col: str = "url") -> Column:
     """Canonical form of a URL, as one composable JVM expression.
 
@@ -69,8 +91,10 @@ def canonical_url(url_col: str = "url") -> Column:
     same step table.
     """
     u = F.col(url_col)
-    for pat, rep in _PRE_STEPS:
-        u = F.regexp_replace(u, pat, rep)
+    for pat, rep, guard in _PRE_STEPS:
+        r = F.regexp_replace(u, pat, rep)
+        u = r if guard is None else \
+            F.when(u.contains(guard), r).otherwise(u)
     # lowercase scheme://host only: split at the first '/' after '//'
     head = F.regexp_extract(u, _HEAD_RE, 1)
     u = F.concat(F.lower(head),
@@ -89,11 +113,15 @@ def canonical_url_sql(expr: str) -> str:
     groups) on both engines.
     """
     u = expr
-    for pat, rep in _PRE_STEPS:
-        u = f"regexp_replace({u}, '{pat}', '{rep}', 'g')"
+    for pat, rep, guard in _PRE_STEPS:
+        _assert_sql_safe(pat, rep)
+        r = f"regexp_replace({u}, '{pat}', '{rep}', 'g')"
+        u = r if guard is None else \
+            f"(CASE WHEN contains({u}, '{guard}') THEN {r} ELSE {u} END)"
     head = f"regexp_extract({u}, '{_HEAD_RE}', 1)"
     u = f"concat(lower({head}), substring({u}, length({head}) + 1))"
     for pat, rep in _POST_STEPS:
+        _assert_sql_safe(pat, rep)
         u = f"regexp_replace({u}, '{pat}', '{rep.replace('$', chr(92))}', 'g')"
     return u
 
@@ -269,6 +297,7 @@ def pii_scrub_sql(expr: str) -> str:
     Spark defaults to)."""
     u = expr
     for _label, pat, rep in PII_STEPS:
+        _assert_sql_safe(pat, rep)
         u = f"regexp_replace({u}, '{pat}', '{rep}', 'g')"
     return u
 
@@ -312,6 +341,7 @@ def pii_count_sql(expr: str) -> str:
     u = expr
     parts = []
     for _label, pat, rep in PII_STEPS:
+        _assert_sql_safe(pat, rep)
         parts.append(f"len(regexp_extract_all({u}, '{pat}'))")
         u = f"regexp_replace({u}, '{pat}', '{rep}', 'g')"
     return "(" + " + ".join(parts) + ")"

@@ -36,6 +36,13 @@ CASES = [
     ("http://h.com/p?utm_source=x&a=1&b=2", "http://h.com/p?a=1&b=2"),
     # literal '&' in a query-less path: the repair must NOT fire
     ("http://h.com/a&b", "http://h.com/a&b"),
+    # tracker-SHAPED segment in a query-less path: without a '?', '&' is
+    # literal content — the '&'-form strip must not fire (r5 advice)
+    ("http://h.com/a&utm_source=b", "http://h.com/a&utm_source=b"),
+    # ...but with a real query present the '&'-form still strips, even
+    # several trackers interleaved with survivors
+    ("http://h.com/p?a=1&utm_source=x&b=2&fbclid=y",
+     "http://h.com/p?a=1&b=2"),
     # default-port removal is scheme-specific: these are distinct origins
     ("http://h.com:443/x", "http://h.com:443/x"),
     ("https://h.com:80/x", "https://h.com:80/x"),
@@ -167,6 +174,47 @@ class TestCanonicalUrlFuzzParity:
         df = spark.createDataFrame([(u,) for u in urls], "url string")
         got = [r[0] for r in df.select(canonical_url("url")).collect()]
         assert got == _duck_canon(urls)
+
+
+class TestSqlEmitterGuard:
+    """The twin emitters interpolate step-table entries into
+    single-quoted SQL literals with no escaping — the emit-time guard
+    must reject entries that would silently produce broken/wrong SQL
+    (r5 advice)."""
+
+    def test_quote_in_pattern_rejected(self, monkeypatch):
+        from compress_otel_collector_spark.operators import curation
+
+        monkeypatch.setattr(
+            curation, "PII_STEPS",
+            (("bad", r"it's", "<X>"),))
+        with pytest.raises(ValueError, match="single quote"):
+            curation.pii_scrub_sql("text")
+        with pytest.raises(ValueError, match="single quote"):
+            curation.pii_count_sql("text")
+
+    def test_dollar_replacement_charset(self):
+        from compress_otel_collector_spark.operators.curation import (
+            _assert_sql_safe,
+        )
+
+        _assert_sql_safe(r"(a)(b)", "$1$2")     # group refs: fine
+        _assert_sql_safe(r"x", "<EMAIL>")       # token: fine
+        with pytest.raises(ValueError, match="charset"):
+            _assert_sql_safe(r"x", "a b")       # space not in charset
+        with pytest.raises(ValueError, match="charset"):
+            _assert_sql_safe(r"x", r"a\b")      # backslash neither
+
+    def test_current_tables_pass(self):
+        from compress_otel_collector_spark.operators.curation import (
+            canonical_url_sql,
+            pii_count_sql,
+            pii_scrub_sql,
+        )
+
+        assert "regexp_replace" in canonical_url_sql("url")
+        assert "regexp_replace" in pii_scrub_sql("text")
+        assert "regexp_extract_all" in pii_count_sql("text")
 
 
 class TestPackSequences:
