@@ -72,6 +72,11 @@ class _Pools:
     state: _State = field(default_factory=_State)
     # pool_id -> list of raw (unfrozen) unique values in index order
     uniques: dict[str, list] = field(default_factory=dict)
+    # pool_id -> (entry_count, all entries pre-joined) for pools whose
+    # entries were assembled vectorized — the meta block consumes the blob
+    # directly, skipping per-entry bytes objects entirely. Wire-identical
+    # to the pool_entries list form (entries are plain concatenation).
+    entry_blobs: dict[str, tuple[int, bytes]] = field(default_factory=dict)
 
     def build(self, pool_id: str, values, scalar: bool = False,
               keys=None) -> np.ndarray:
@@ -123,12 +128,18 @@ class _Pools:
         be fully built — call in topological order)."""
         entries = self.state.pool_entries.setdefault(pool_id, [])
         uniques = self.uniques.get(pool_id, [])
-        if definition.type in (BYTES_T, STRING_T) and uniques:
-            # vectorized fast path: entry = varint(len) + raw payload
+        if definition.type in (BYTES_T, STRING_T) and uniques and not entries:
+            # vectorized fast path: entry = varint(len) + raw payload,
+            # all entries assembled into ONE blob (no per-entry bytes)
             raws = [
                 v.encode("utf-8") if definition.type == STRING_T else bytes(v)
                 for v in uniques
             ]
+            blob = _len_prefixed_blob(raws)
+            if blob is not None:
+                self.entry_blobs[pool_id] = (len(raws), blob)
+                return
+            # oversized payloads (very long strings): per-entry pieces
             len_pieces = _varint_pieces(
                 np.fromiter((len(r) for r in raws), np.int64, len(raws)))
             entries.extend(lp + r for lp, r in zip(len_pieces, raws))
@@ -149,16 +160,24 @@ class _Pools:
 def _factorize_exact(values) -> tuple[np.ndarray, list]:
     """``pd.factorize`` with exact string identity.
 
-    pandas' string hashtable hashes values as C strings — it truncates at
-    the first embedded NUL, conflating ``'a'`` with ``'a\\x00b'`` (and
-    ``''`` with ``'\\x00'``), which would alias distinct pool entries and
-    corrupt the wire. Encoding str values to utf-8 bytes routes them
-    through the object hashtable, which hashes full contents. Returned
-    uniques are the ORIGINAL value objects (str, not the bytes encoding)
-    in first-appearance order — pool keys must stay raw values; None maps
-    to code -1.
+    pandas' string hashtable hashes AND compares values as C strings — it
+    truncates at the first embedded NUL, conflating ``'a'`` with
+    ``'a\\x00b'`` (and ``''`` with ``'\\x00'``), which would alias distinct
+    pool entries and corrupt the wire. When no str value contains a NUL
+    (one short-circuiting pass — the overwhelmingly common case), the
+    C-string view IS the full string, so raw factorize is exact and its
+    uniques come back directly in first-appearance order. Otherwise the
+    str values are re-encoded as utf-8 bytes, routing them through the
+    object hashtable which hashes full contents. Returned uniques are the
+    ORIGINAL value objects (str, not the bytes encoding) in
+    first-appearance order — pool keys must stay raw values; None maps to
+    code -1. Exactness on both paths is pinned by the embedded-NUL pool
+    tests (tests/test_batch_codec.py).
     """
     vals = np.asarray(values, dtype=object)
+    if not any(type(v) is str and "\x00" in v for v in vals):
+        codes, uniques = pd.factorize(vals)
+        return codes, list(uniques)
     enc = np.array(
         [v.encode("utf-8") if type(v) is str else v for v in vals],
         dtype=object,
@@ -170,6 +189,49 @@ def _factorize_exact(values) -> tuple[np.ndarray, list]:
     # that unique's first occurrence
     uc, fi = np.unique(codes, return_index=True)
     return codes, list(vals[fi[uc >= 0]])
+
+
+def _fields_blob(fields: list[tuple[np.ndarray, np.ndarray]]) -> bytes:
+    """Flatten per-row padded field matrices into one row-major byte
+    stream: one hstack + one boolean mask-select (the span-stream
+    assembly's kernel, shared by the vectorized pool-entry emitters).
+    ``fields`` is a list of ``(matrix (n, w), lengths (n,))`` pairs; row
+    i's bytes are the first ``lengths[i]`` cells of each field in order.
+    """
+    big = np.hstack([m for m, _ in fields])
+    mask = np.hstack([
+        np.arange(m.shape[1])[None, :] < np.asarray(l, dtype=np.int64)[:, None]
+        for m, l in fields
+    ])
+    return big[mask].tobytes()
+
+
+def _const_field(piece: bytes, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """A constant per-row piece as a (n, len(piece)) field."""
+    mat = np.broadcast_to(
+        np.frombuffer(piece, dtype=np.uint8), (n, len(piece)))
+    return mat, np.full(n, len(piece), dtype=np.int64)
+
+
+#: max padded payload width for vectorized length-prefixed pool blobs;
+#: beyond it the padded matrix would waste memory → per-entry fallback
+_MAX_PAYLOAD_PAD = 4096
+
+
+def _len_prefixed_blob(raws: list[bytes]) -> Optional[bytes]:
+    """All ``varint(len) + payload`` entries joined, assembled via padded
+    matrices (zero per-entry bytes objects). None when a payload exceeds
+    ``_MAX_PAYLOAD_PAD`` (caller falls back to per-entry pieces)."""
+    m = len(raws)
+    plens = np.fromiter((len(r) for r in raws), np.int64, m)
+    w = int(plens.max()) if m else 0
+    if w > _MAX_PAYLOAD_PAD:
+        return None
+    lmat, llen = encode_sleb128_matrix(plens)
+    pmat = np.zeros((m, max(w, 1)), dtype=np.uint8)
+    sel = np.arange(max(w, 1))[None, :] < plens[:, None]
+    pmat[sel] = np.frombuffer(b"".join(raws), dtype=np.uint8)
+    return _fields_blob([(lmat, llen), (pmat, plens)])
 
 
 def _null_mask(col: np.ndarray) -> np.ndarray:
@@ -290,9 +352,14 @@ def _nullable_diff_cells(values, null_mask: np.ndarray) -> list[bytes]:
 
 
 def _coerce_bytes(col) -> np.ndarray:
-    return np.array(
-        [None if v is None else bytes(v) for v in col], dtype=object
-    )
+    # Arrow→pandas binary columns already hold plain bytes objects; only
+    # copy when a row is some other buffer type (bytearray, memoryview)
+    for v in col:
+        if v is not None and type(v) is not bytes:
+            return np.array(
+                [None if x is None else bytes(x) for x in col], dtype=object
+            )
+    return np.asarray(col, dtype=object)
 
 
 def _string_pool_codes(values, st: _State) -> np.ndarray:
@@ -319,18 +386,21 @@ def _string_pool_codes(values, st: _State) -> np.ndarray:
 
 def _free_map_columnar_entries(spec: dict[str, str],
                                cols: dict[str, np.ndarray],
-                               st: _State) -> list[bytes]:
+                               st: _State) -> tuple[int, bytes]:
     """Columnar free-map entry encoder (the attributes-pool hot path).
 
     ``spec`` maps attribute key → value type ('int'|'str'|'double'|'bool');
     ``cols`` holds one value column per key (unique pool rows only). Wire
     layout per entry matches encoder._free_map_encode with sorted keys and
     no null values (pipeline attributes are always fully populated).
+    Returns ``(entry_count, all entries pre-joined)`` — the whole pool is
+    assembled as padded field matrices + one mask-select (zero per-entry
+    Python), wire-identical to joining per-entry bytes.
     """
     keys_sorted = sorted(spec)
     m = len(next(iter(cols.values()))) if cols else 0
-    header = encode_sleb128(len(keys_sorted))
-    piece_lists: list[list[bytes]] = [[header] * m]
+    fields: list[tuple[np.ndarray, np.ndarray]] = [
+        _const_field(encode_sleb128(len(keys_sorted)), m)]
     for k in keys_sorted:
         sp = st.string_pool
         kidx = sp.get(k)
@@ -339,26 +409,32 @@ def _free_map_columnar_entries(spec: dict[str, str],
             sp[k] = kidx
         t = spec[k]
         if t == "int":
-            prefix = encode_sleb128(kidx) + b"\x01\x00"  # tag INTEGER=0
-            pieces = _varint_pieces(np.asarray(cols[k], dtype=np.int64))
-            piece_lists.append([prefix + p for p in pieces])
+            # per entry: varint(key idx) + presence \x01 + tag + payload
+            fields.append(_const_field(
+                encode_sleb128(kidx) + b"\x01\x00", m))   # tag INTEGER=0
+            vm, vl = encode_sleb128_matrix(
+                np.asarray(cols[k], dtype=np.int64))
+            fields.append((vm, vl))
         elif t == "str":
-            prefix = encode_sleb128(kidx) + b"\x01\x04"  # tag STRING=4
-            codes = _string_pool_codes(cols[k], st)
-            pieces = _varint_pieces(codes)
-            piece_lists.append([prefix + p for p in pieces])
+            fields.append(_const_field(
+                encode_sleb128(kidx) + b"\x01\x04", m))   # tag STRING=4
+            vm, vl = encode_sleb128_matrix(_string_pool_codes(cols[k], st))
+            fields.append((vm, vl))
         elif t == "double":
-            prefix = encode_sleb128(kidx) + b"\x01\x02"  # tag DOUBLE=2
-            raw = np.ascontiguousarray(cols[k], dtype="<f8").tobytes()
-            piece_lists.append(
-                [prefix + raw[8 * i:8 * i + 8] for i in range(m)])
+            fields.append(_const_field(
+                encode_sleb128(kidx) + b"\x01\x02", m))   # tag DOUBLE=2
+            dm = np.ascontiguousarray(
+                cols[k], dtype="<f8").view(np.uint8).reshape(m, 8)
+            fields.append((dm, np.full(m, 8, dtype=np.int64)))
         elif t == "bool":
-            prefix = encode_sleb128(kidx) + b"\x01\x01"  # tag BOOLEAN=1
-            piece_lists.append(
-                [prefix + (b"\x01" if v else b"\x00") for v in cols[k]])
+            fields.append(_const_field(
+                encode_sleb128(kidx) + b"\x01\x01", m))   # tag BOOLEAN=1
+            bm = np.asarray(cols[k]).astype(bool).astype(
+                np.uint8).reshape(m, 1)
+            fields.append((bm, np.ones(m, dtype=np.int64)))
         else:
             raise CodecError(f"unsupported attributes_spec type {t!r}")
-    return [b"".join(parts) for parts in zip(*piece_lists)]
+    return m, _fields_blob(fields)
 
 
 def encode_span_dataframe(
@@ -461,7 +537,7 @@ def encode_span_dataframe(
                     first_rows.append(i)
                 span_attr_codes[i] = idx
             sel = np.asarray(first_rows, dtype=np.int64)
-        pools.state.pool_entries[attr_pool_id] = _free_map_columnar_entries(
+        pools.entry_blobs[attr_pool_id] = _free_map_columnar_entries(
             attributes_spec, {k: acols[k][sel] for k in keys_sorted},
             pools.state)
         pools.uniques[attr_pool_id] = []
@@ -563,17 +639,22 @@ def encode_span_dataframe(
         _, sel = np.unique(ln_item_codes, return_index=True)
         # wire layout per entry = the link object's sorted fields with
         # their usual null flags (no root flag/pool ref: decode.go:59-67):
-        # attributes, droppedAttributesCount, spanId, traceId, traceState
-        pools.state.pool_entries[_LINKS_ITEM_PATH] = [
-            b"".join(parts) for parts in zip(
-                _nullable_code_cells(ln_attr_codes[sel]),
-                _nullable_varint_cells(ln_dropped[sel],
-                                       _int_null_mask(ln_dropped[sel])),
-                _nullable_code_cells(ln_span_codes[sel]),
-                _code_cells(ln_trace_codes[sel]),
-                _nullable_code_cells(ln_state_codes[sel]),
-            )
-        ]
+        # attributes, droppedAttributesCount, spanId, traceId, traceState —
+        # assembled as padded matrices + one mask-select (zero per-entry
+        # Python), wire-identical to joining per-entry cells
+        pools.entry_blobs[_LINKS_ITEM_PATH] = (
+            len(sel),
+            _fields_blob([
+                _nullable_code_matrix(ln_attr_codes[sel]),
+                _nullable_vcell_matrix(
+                    np.where(_int_null_mask(ln_dropped[sel]), 0,
+                             ln_dropped[sel]).astype(np.int64),
+                    _int_null_mask(ln_dropped[sel])),
+                _nullable_code_matrix(ln_span_codes[sel]),
+                _code_matrix(ln_trace_codes[sel]),
+                _nullable_code_matrix(ln_state_codes[sel]),
+            ]),
+        )
         pools.uniques[_LINKS_ITEM_PATH] = []
 
     name_codes = pools.build(_SPANS_PATH + " name", list(col["name"]),
@@ -586,14 +667,20 @@ def encode_span_dataframe(
         list(np.where(msg_mask, None, msg_col)),
         scalar=True,
     )
-    status_vals = [
-        {"message": m, "code": int(c)}
-        for m, c in zip(col["status_message"], col["status_code"])
+    # status pool: dedup on the (message, code) key FIRST, then build the
+    # value dicts for the handful of uniques only (statuses have tiny
+    # cardinality — materializing n dicts to keep a few was pure waste)
+    status_keys = np.empty(n, dtype=object)
+    status_keys[:] = list(zip(col["status_message"], col["status_code"]))
+    status_codes, status_uniq_keys = pd.factorize(status_keys)
+    status_codes = status_codes.astype(np.int64, copy=False)
+    status_pool_id = _SPANS_PATH + " status"
+    pools.state.pools[status_pool_id] = {
+        k: i for i, k in enumerate(status_uniq_keys)
+    }
+    pools.uniques[status_pool_id] = [
+        {"message": m, "code": int(c)} for m, c in status_uniq_keys
     ]
-    status_codes = pools.build(
-        _SPANS_PATH + " status", status_vals,
-        keys=list(zip(col["status_message"], col["status_code"])),
-    )
 
     resources = [
         {"attributes": resource_attrs_for(k), "droppedAttributesCount": 0}
@@ -779,21 +866,35 @@ def encode_span_dataframe(
     st = pools.state
     meta = bytearray()
     meta += encode_sleb128(len(st.string_pool))
-    for s in st.string_pool:
-        raw = s.encode("utf-8")
-        meta += encode_sleb128(len(raw))
-        meta += raw
+    if st.string_pool:
+        # string pool block: varint(len)+utf8 per entry, assembled in one
+        # matrix pass (the per-entry loop was ~1 append pair per unique)
+        sp_raws = [s.encode("utf-8") for s in st.string_pool]
+        sp_blob = _len_prefixed_blob(sp_raws)
+        if sp_blob is not None:
+            meta += sp_blob
+        else:  # an oversized string: plain loop, identical wire
+            for raw in sp_raws:
+                meta += encode_sleb128(len(raw))
+                meta += raw
     present_pools = [
         pid for pid in topological_pool_order(definition)
-        if st.pool_entries.get(pid)  # skip never-used (all-null) pools
+        # skip never-used (all-null) pools
+        if st.pool_entries.get(pid) or pid in pools.entry_blobs
     ]
     meta += encode_sleb128(len(present_pools))
     for pool_id in present_pools:
         raw = pool_id.encode("utf-8")
         meta += encode_sleb128(len(raw))
         meta += raw
-        entries = st.pool_entries[pool_id]
-        meta += encode_sleb128(len(entries))
-        for entry in entries:
-            meta += entry
+        eb = pools.entry_blobs.get(pool_id)
+        if eb is not None:
+            cnt, blob = eb
+            meta += encode_sleb128(cnt)
+            meta += blob
+        else:
+            entries = st.pool_entries[pool_id]
+            meta += encode_sleb128(len(entries))
+            for entry in entries:
+                meta += entry
     return bytes(meta) + b"cprval" + bytes(data)

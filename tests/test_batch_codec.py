@@ -262,3 +262,39 @@ def test_nul_strings_in_columnar_attributes():
             for rs in got["resourceSpans"] for ss in rs["scopeSpans"]
             for sp in ss["spans"]]
     assert vals == [("a", 1), ("a\x00b", 2), ("a\x00", 3), ("a", 4)]
+
+
+def test_factorize_fast_and_nul_paths_agree():
+    """_factorize_exact's raw-factorize fast path (no NUL anywhere) and
+    its bytes-reencode slow path must produce identical codes/uniques on
+    the same NUL-free input — and the slow path stays exact when a NUL
+    forces it (r6: the fast path skips the per-value utf-8 re-encode)."""
+    from compress_otel_collector_spark.codec.batch import _factorize_exact
+
+    clean = ["b", "a", None, "b", "", "c", "a"]
+    codes, uniq = _factorize_exact(clean)
+    assert uniq == ["b", "a", "", "c"]
+    assert codes.tolist() == [0, 1, -1, 0, 2, 3, 1]
+    dirty = ["a", "a\x00b", None, "a\x00", "a", ""]
+    codes, uniq = _factorize_exact(dirty)
+    assert uniq == ["a", "a\x00b", "a\x00", ""]
+    assert codes.tolist() == [0, 1, -1, 2, 0, 3]
+
+
+def test_oversized_string_pool_entry_roundtrips():
+    """A pooled string larger than the vectorized padded-matrix cap
+    (_MAX_PAYLOAD_PAD) must take the per-entry fallback and still decode
+    byte-exactly (r6: pool entries are pre-joined into one blob when the
+    padded assembly applies)."""
+    from compress_otel_collector_spark.codec.batch import _MAX_PAYLOAD_PAD
+
+    m = trace_model()
+    pdf = make_pdf(6, with_events=False, with_links=False)
+    long_name = "n" * (_MAX_PAYLOAD_PAD + 7)
+    pdf.loc[2, "name"] = long_name
+    blob = encode_span_dataframe(pdf)
+    got = decode(blob, m)
+    names = [sp["name"] for rs in got["resourceSpans"]
+             for ss in rs["scopeSpans"] for sp in ss["spans"]]
+    assert names[2] == long_name
+    assert len(names) == 6
