@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from compress_otel_collector_spark.operators import (
     canonical_url_sql,
+    cluster_summary,
     cosine_topk,
     exact_dedup,
     extract_features,
@@ -28,7 +29,6 @@ from compress_otel_collector_spark.operators import (
     ngram_jaccard_pairs,
     pii_count_sql,
     quality_score,
-    simhash,
     simhash_hamming_pairs,
     synthesize_media,
     token_stats,
@@ -668,8 +668,13 @@ def _q_dedup_minhash_lsh(spark, sf_dir):
     return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
 
 
-def _q_dedup_simhash(spark, sf_dir):
-    return simhash(load_table(spark, sf_dir, "documents"))
+def _q_dedup_clusters(spark, sf_dir):
+    """MinHash-LSH pairs transitively closed into duplicate clusters:
+    one ledger row per cluster (rep_id = min member, members in numeric
+    order). The dedup last mile — pairs alone over/under-delete because
+    candidate sets are not transitive-closed (operators/cluster.py)."""
+    pairs = minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
+    return cluster_summary(pairs)
 
 
 def _q_dedup_simhash_hamming(spark, sf_dir):
@@ -1010,7 +1015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
-        "dedup_simhash": _q_dedup_simhash,
+        "dedup_clusters": _q_dedup_clusters,
         "dedup_simhash_hamming": _q_dedup_simhash_hamming,
         "embedding_topk": _q_embedding_topk,
         "lang_id": _q_lang_id,
@@ -1088,10 +1093,14 @@ def _simhash_hamming_sql(max_distance: int = 3, bits: int = 64) -> str:
 
 
 def _minhash_sql(num_hashes: int = 8, bands: int = 2,
-                 max_bucket: int | None = None) -> str:
+                 max_bucket: int | None = None,
+                 as_cte: bool = False) -> str:
     """DuckDB twin of minhash_lsh_pairs. ``max_bucket`` mirrors the
     operator's default-on hot-bucket cap: buckets above the cap are dropped
-    before pairing on BOTH sides, keeping the twin exact."""
+    before pairing on BOTH sides, keeping the twin exact. ``as_cte``
+    emits the pair select as a trailing ``pairs`` CTE instead of the
+    final SELECT, so composite twins (``_minhash_clusters_sql``) build on
+    the exact same pair set."""
     if max_bucket is None:
         from compress_otel_collector_spark.operators.dedup import (
             DEFAULT_MAX_BUCKET,
@@ -1113,17 +1122,48 @@ def _minhash_sql(num_hashes: int = 8, bands: int = 2,
         )
         for b in range(bands)
     )
-    return (
+    ctes = (
         _SHINGLES_CTE
         + f", sig AS (SELECT doc_id, {sigs} FROM sh GROUP BY doc_id)"
         + f", banded AS ({band_selects})"
         + ", cold AS (SELECT bucket FROM banded GROUP BY bucket "
         + f"HAVING count(*) <= {max_bucket})"
-        + ", ok AS (SELECT banded.* FROM banded JOIN cold USING (bucket)) "
-        + "SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id "
-        + "FROM ok a JOIN ok b "
-        + "ON a.bucket = b.bucket AND a.doc_id < b.doc_id"
+        + ", ok AS (SELECT banded.* FROM banded JOIN cold USING (bucket))"
     )
+    pair_sel = (
+        "SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id "
+        "FROM ok a JOIN ok b "
+        "ON a.bucket = b.bucket AND a.doc_id < b.doc_id"
+    )
+    if as_cte:
+        return ctes + f", pairs AS ({pair_sel})"
+    return ctes + " " + pair_sel
+
+
+def _minhash_clusters_sql() -> str:
+    """DuckDB twin of ``_q_dedup_clusters``: the minhash pair set
+    (identical CTE chain to the ``dedup_minhash_lsh`` twin) transitively
+    closed by a recursive CTE — ``reach(a, b)`` enumerates every node b
+    reachable from a over the symmetrized pairs, ``MIN(b)`` per node is
+    the component label, exactly ``connected_components``' contract.
+    Bounded: the recursion is over the sf-level candidate-pair graph
+    (tens of pairs at oracle scale), with UNION-distinct termination."""
+    base = _minhash_sql(as_cte=True).replace("WITH ", "WITH RECURSIVE ", 1)
+    return base + """
+        , edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+                    UNION SELECT b_id AS u, a_id AS v FROM pairs)
+        , reach(a, b) AS (
+            SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+            UNION
+            SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u
+        )
+        , comp AS (SELECT a AS node, MIN(b) AS comp FROM reach GROUP BY a)
+        SELECT comp AS rep_id,
+               CAST(COUNT(*) AS BIGINT) AS cluster_size,
+               STRING_AGG(CAST(node AS VARCHAR), ',' ORDER BY node)
+                   AS members
+        FROM comp GROUP BY comp
+    """
 
 
 #: side table for the token_count twin — per-text BPE counts computed by
@@ -1643,7 +1683,7 @@ def oracle_sql() -> dict[str, str]:
             FROM sh_all GROUP BY doc_id
         """,
         "dedup_minhash_lsh": _minhash_sql(),
-        "dedup_simhash": _simhash_sql(),
+        "dedup_clusters": _minhash_clusters_sql(),
         "dedup_simhash_hamming": _simhash_hamming_sql(),
         # planted-copy corpus: vec_ids < 25 duplicated at id+10000 on BOTH
         # engines; exact_dup_pairs recomputed by brute-force cosine (the

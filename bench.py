@@ -161,7 +161,8 @@ def run_headline_queries(spark, sf_dir: str):
 
     names = [
         "tpch_q1", "revenue_by_nation", "dedup_exact", "dedup_minhash_lsh",
-        "dedup_simhash", "embedding_topk", "token_count", "quality_score",
+        "dedup_simhash_hamming", "embedding_topk", "token_count",
+        "quality_score",
         "codec_roundtrip", "pipeline_sinks",
     ]
 

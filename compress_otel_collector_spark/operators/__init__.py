@@ -41,6 +41,11 @@ from .dictionary import (  # noqa: F401
     global_dictionary,
 )
 from .asof import asof_join  # noqa: F401
+from .cluster import (  # noqa: F401
+    cluster_summary,
+    connected_components,
+    drop_near_duplicates,
+)
 from .rangejoin import range_join  # noqa: F401
 from .curation import (  # noqa: F401
     canonical_url,

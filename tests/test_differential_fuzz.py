@@ -25,7 +25,7 @@ _SEED = 20260816
 DOC_QUERIES = [
     "parse_extract", "route_counts", "null_normalization", "topk_sources",
     "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
-    "dedup_simhash", "dedup_simhash_hamming", "lang_id", "quality_score",
+    "dedup_clusters", "dedup_simhash_hamming", "lang_id", "quality_score",
     "token_count", "fingerprint", "contamination_check",
     "repetition_ratio", "corpus_curation", "pipeline_sinks",
     "codec_roundtrip",
