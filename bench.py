@@ -198,6 +198,16 @@ def run_headline_queries(spark, sf_dir: str):
                  for name, rs in runs.items()}, sentinel_first
 
 
+def _mins(query_runs: dict[str, list[float]]) -> dict[str, float]:
+    """Per-query best-of-runs — the stall-free floor. The host sometimes
+    freezes whole processes for tens of seconds at RANDOM points (not the
+    progressive drift the sentinel calibrates); a stall landing on 1 of 3
+    runs can still capture the median, so the JSON carries the min
+    alongside: medians are the headline, mins bound what the code itself
+    costs when a round's medians look anomalous against the sentinel."""
+    return {name: round(min(rs), 3) for name, rs in query_runs.items()}
+
+
 #: the fixed query re-timed at bench start and end (throttle sentinel)
 SENTINEL_QUERY = "tpch_q1"
 
@@ -456,7 +466,12 @@ last measurement; `ratio = last/first` calibrates how much of any
 round-over-round drift in the other queries is accumulated host slowdown
 rather than a code change. Read a BENCH_r{{N}} comparison as: drift ≲ the
 sentinel ratio is environmental; drift well beyond it on a query whose
-code changed is real.
+code changed is real. The host can ALSO freeze whole processes for tens
+of seconds at random points (observed r6: same query 0.9 s / 27.4 s /
+1.6 s within one bench) — that regime is invisible to the sentinel
+ratio, so the JSON carries `query_mins` (best-of-runs per query, the
+stall-free floor) next to the medians: when a round's medians look
+anomalous against the sentinel, read the mins.
 
 ## Compression arms (reference parity: trace.go:40-181)
 
@@ -572,6 +587,7 @@ def main():
         "unit": "sec",
         "queries": queries,
         "query_runs": query_runs,
+        "query_mins": _mins(query_runs),
         "throttle_sentinel": {
             "query": SENTINEL_QUERY,
             "first_sec": round(sentinel_first, 3),

@@ -103,3 +103,20 @@ def test_cluster_summary_numeric_member_order(spark):
         [(2, 10), (2, 9)], "a_id long, b_id long")
     rows = cluster_summary(pairs).collect()
     assert rows[0]["members"] == "2,9,10"
+
+
+def test_clusters_compose_with_embedding_pairs(spark, sf_dir):
+    """connected_components composes with the OTHER pair producer
+    (embedding LSH) unchanged — same (a_id, b_id) contract — and every
+    pair's endpoints land in one component."""
+    from compress_otel_collector_spark.operators.similarity import (
+        embedding_dup_pairs_lsh,
+    )
+    from compress_otel_collector_spark.sources.tables import load_table
+
+    pairs = embedding_dup_pairs_lsh(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.9)
+    comp = {r["node"]: r["comp"]
+            for r in connected_components(pairs).collect()}
+    for r in pairs.collect():
+        assert comp[r["a_id"]] == comp[r["b_id"]]
