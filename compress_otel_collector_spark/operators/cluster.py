@@ -73,7 +73,7 @@ def connected_components(edges: DataFrame, a: str = "a_id",
         .select("node", F.col("node").alias("comp"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iter):
+    for rnd in range(max_iter):
         # 1) neighbor step: node takes min over self + neighbors' labels
         msgs = (
             sym.join(comp, sym["v"] == comp["node"])
@@ -93,12 +93,19 @@ def connected_components(edges: DataFrame, a: str = "a_id",
             .select("node", F.col("p_comp").alias("comp"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            jumped.alias("n")
-            .join(comp.alias("o"), "node")
-            .where(F.col("n.comp") != F.col("o.comp"))
-        )
-        converged = changed.isEmpty()
+        # round 0 always changes labels when any non-self edge exists
+        # (some node has a smaller neighbor), so the convergence probe —
+        # one join + isEmpty job — is skipped there; a degenerate
+        # all-self-loop input just pays one extra (empty-delta) round
+        if rnd > 0:
+            changed = (
+                jumped.alias("n")
+                .join(comp.alias("o"), "node")
+                .where(F.col("n.comp") != F.col("o.comp"))
+            )
+            converged = changed.isEmpty()
+        else:
+            converged = False
         comp = jumped
         if converged:
             return comp
