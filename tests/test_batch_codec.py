@@ -298,3 +298,23 @@ def test_oversized_string_pool_entry_roundtrips():
              for ss in rs["scopeSpans"] for sp in ss["spans"]]
     assert names[2] == long_name
     assert len(names) == 6
+
+
+def test_len_prefixed_blob_matches_naive_join():
+    """The vectorized length-prefixed pool assembly must be byte-equal to
+    the naive per-entry form for arbitrary payloads (r6 entry_blobs)."""
+    import random
+
+    from compress_otel_collector_spark.codec.batch import _len_prefixed_blob
+    from compress_otel_collector_spark.codec.varint import encode_sleb128
+
+    rng = random.Random(11)
+    for trial in range(20):
+        raws = [bytes(rng.randrange(256) for _ in range(rng.choice(
+            [0, 1, 2, 7, 63, 64, 127, 128, 300]))) for _ in range(
+            rng.randrange(1, 40))]
+        got = _len_prefixed_blob(raws)
+        want = b"".join(encode_sleb128(len(r)) + r for r in raws)
+        assert got == want, f"trial {trial}"
+    # over-cap payload falls back to None
+    assert _len_prefixed_blob([b"x" * 5000]) is None
