@@ -611,8 +611,14 @@ def main():
         result["scaling_efficiency_n_to_4n"] = eff  # N=2 cores vs 4N=8
         result["scaling_partition_mechanism"] = {
             str(k): v for k, v in mech.items()}
+        # standing annotations survive regeneration: BENCH/NOTES.md is
+        # appended verbatim after the scaling table on every rewrite
+        notes = ""
+        if os.path.exists("BENCH/NOTES.md"):
+            with open("BENCH/NOTES.md") as nf:
+                notes = nf.read()
         write_baseline_md(results, eff, pipe_sec, pages, ratios,
-                          ratios_real, mech)
+                          ratios_real, mech, notes=notes)
     print(json.dumps(result))
 
 
