@@ -175,7 +175,16 @@ def _factorize_exact(values) -> tuple[np.ndarray, list]:
     tests (tests/test_batch_codec.py).
     """
     vals = np.asarray(values, dtype=object)
-    if not any(type(v) is str and "\x00" in v for v in vals):
+    lst = vals.tolist()
+    try:
+        # all-str fast scan: one C join + one memchr. filter(None) drops
+        # None and '' (neither can carry a NUL); the '\x01' separator is
+        # NUL-free so it cannot fabricate a hit. Any non-str survivor
+        # (bytes etc.) raises TypeError → the per-value scan below.
+        has_nul = "\x00" in "\x01".join(filter(None, lst))
+    except TypeError:
+        has_nul = any(type(v) is str and "\x00" in v for v in lst)
+    if not has_nul:
         codes, uniques = pd.factorize(vals)
         return codes, list(uniques)
     enc = np.array(
