@@ -187,10 +187,14 @@ def _factorize_exact(values) -> tuple[np.ndarray, list]:
     if not has_nul:
         codes, uniques = pd.factorize(vals)
         return codes, list(uniques)
-    enc = np.array(
-        [v.encode("utf-8") if type(v) is str else v for v in vals],
-        dtype=object,
-    )
+    # the re-encoded key is TYPE-TAGGED: a bare utf-8 re-encode would
+    # conflate str '' with bytes b'' (and 'a' with b'a') in a mixed
+    # column — distinct values aliasing to one pool entry (found by the
+    # factorize property test). No real pool column mixes types, but the
+    # utility must be exact unconditionally.
+    enc = np.empty(len(vals), dtype=object)
+    enc[:] = [("s", v.encode("utf-8")) if type(v) is str else v
+              for v in vals]
     codes, _ = pd.factorize(pd.Series(enc))
     # map uniques back to the ORIGINAL value objects (pool keys must stay
     # str — the scalar encoder's shared state is keyed by raw values):

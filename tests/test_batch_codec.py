@@ -318,3 +318,40 @@ def test_len_prefixed_blob_matches_naive_join():
         assert got == want, f"trial {trial}"
     # over-cap payload falls back to None
     assert _len_prefixed_blob([b"x" * 5000]) is None
+
+
+def test_factorize_exact_property_vs_pure_python():
+    """_factorize_exact (both its join-scan fast path and the bytes
+    re-encode path) against a pure-Python exact dedup over adversarial
+    value mixes: NULs, the '\\x01' join separator, empties, None, bytes,
+    and str/bytes lookalikes."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from compress_otel_collector_spark.codec.batch import _factorize_exact
+
+    val = st.one_of(
+        st.none(),
+        st.text(alphabet="ab\x00\x01é", max_size=4),
+        st.binary(max_size=3),
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.lists(val, max_size=24))
+    def prop(vals):
+        codes, uniq = _factorize_exact(vals)
+        seen: dict = {}
+        want_codes, want_uniq = [], []
+        for v in vals:
+            if v is None:
+                want_codes.append(-1)
+                continue
+            k = (type(v).__name__, v)
+            if k not in seen:
+                seen[k] = len(want_uniq)
+                want_uniq.append(v)
+            want_codes.append(seen[k])
+        assert codes.tolist() == want_codes
+        assert uniq == want_uniq
+
+    prop()
