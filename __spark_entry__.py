@@ -1140,6 +1140,19 @@ def _minhash_sql(num_hashes: int = 8, bands: int = 2,
     return ctes + " " + pair_sel
 
 
+def _with_recursive(sql: str) -> str:
+    """Turn a composed ``WITH ...`` twin into ``WITH RECURSIVE ...``.
+
+    Anchored at position 0 and asserted — a bare ``str.replace(..., 1)``
+    would silently rewrite some LATER ``'WITH '`` occurrence if the shared
+    CTE prefix were ever reworded to not start with it."""
+    head = "WITH "
+    if not sql.startswith(head):
+        raise ValueError(
+            f"composed twin no longer starts with {head!r}: {sql[:40]!r}")
+    return "WITH RECURSIVE " + sql[len(head):]
+
+
 def _minhash_clusters_sql() -> str:
     """DuckDB twin of ``_q_dedup_clusters``: the minhash pair set
     (identical CTE chain to the ``dedup_minhash_lsh`` twin) transitively
@@ -1148,7 +1161,7 @@ def _minhash_clusters_sql() -> str:
     the component label, exactly ``connected_components``' contract.
     Bounded: the recursion is over the sf-level candidate-pair graph
     (tens of pairs at oracle scale), with UNION-distinct termination."""
-    base = _minhash_sql(as_cte=True).replace("WITH ", "WITH RECURSIVE ", 1)
+    base = _with_recursive(_minhash_sql(as_cte=True))
     return base + """
         , edges AS (SELECT a_id AS u, b_id AS v FROM pairs
                     UNION SELECT b_id AS u, a_id AS v FROM pairs)

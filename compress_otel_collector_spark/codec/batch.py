@@ -230,15 +230,29 @@ def _const_field(piece: bytes, n: int) -> tuple[np.ndarray, np.ndarray]:
 #: beyond it the padded matrix would waste memory → per-entry fallback
 _MAX_PAYLOAD_PAD = 4096
 
+#: padded-matrix waste guards: fall back to per-entry pieces when the
+#: padded size blows past BOTH a relative bound (8× the actual payload —
+#: one near-cap entry among many short ones) and an absolute budget
+#: (the transient working set is ~3-4× m*w across pmat + sel + the
+#: _fields_blob hstack, so 64 MiB of padding caps it at ~a quarter GiB)
+_PAD_WASTE_FACTOR = 8
+_PAD_BYTE_BUDGET = 64 << 20
+
 
 def _len_prefixed_blob(raws: list[bytes]) -> Optional[bytes]:
     """All ``varint(len) + payload`` entries joined, assembled via padded
     matrices (zero per-entry bytes objects). None when a payload exceeds
-    ``_MAX_PAYLOAD_PAD`` (caller falls back to per-entry pieces)."""
+    ``_MAX_PAYLOAD_PAD``, or when padding would waste > ``_PAD_WASTE_FACTOR``×
+    the payload AND exceed ``_PAD_BYTE_BUDGET`` (a ~1M-unique pool with one
+    near-cap entry would otherwise allocate multi-GB transients) — caller
+    falls back to per-entry pieces."""
     m = len(raws)
     plens = np.fromiter((len(r) for r in raws), np.int64, m)
     w = int(plens.max()) if m else 0
     if w > _MAX_PAYLOAD_PAD:
+        return None
+    padded = m * w
+    if padded > _PAD_BYTE_BUDGET and padded > _PAD_WASTE_FACTOR * int(plens.sum()):
         return None
     lmat, llen = encode_sleb128_matrix(plens)
     pmat = np.zeros((m, max(w, 1)), dtype=np.uint8)
@@ -892,8 +906,10 @@ def encode_span_dataframe(
                 meta += raw
     present_pools = [
         pid for pid in topological_pool_order(definition)
-        # skip never-used (all-null) pools
-        if st.pool_entries.get(pid) or pid in pools.entry_blobs
+        # skip never-used (all-null) pools; a count-0 entry_blob (empty
+        # input with attributes_spec set) counts as never-used too, so
+        # the skip is uniform with the scalar encoder's wire bytes
+        if st.pool_entries.get(pid) or pools.entry_blobs.get(pid, (0, b""))[0]
     ]
     meta += encode_sleb128(len(present_pools))
     for pool_id in present_pools:

@@ -50,6 +50,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _free_local_checkpoint(df: DataFrame) -> None:
+    """Unpersist the executor-local blocks behind a ``localCheckpoint``-ed
+    DataFrame (the DF is unusable afterwards — call only on rounds' dead
+    intermediates). ``Dataset.unpersist`` only talks to the cache manager,
+    not checkpoint blocks, so this reaches the LogicalRDD's RDD directly;
+    best-effort (a Spark-internals change degrades to the old
+    grows-until-session-end behavior, never to an error)."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def connected_components(edges: DataFrame, a: str = "a_id",
                          b: str = "b_id", max_iter: int = 25) -> DataFrame:
     """``(node, comp)`` for every node in ``edges``; ``comp`` is the
@@ -95,9 +108,11 @@ def connected_components(edges: DataFrame, a: str = "a_id",
         )
         # round 0 always changes labels when any non-self edge exists
         # (some node has a smaller neighbor), so the convergence probe —
-        # one join + isEmpty job — is skipped there; a degenerate
-        # all-self-loop input just pays one extra (empty-delta) round
-        if rnd > 0:
+        # one join + isEmpty job — is normally skipped there; a degenerate
+        # all-self-loop input just pays one extra (empty-delta) round.
+        # With max_iter == 1 there IS no later round, so probe immediately
+        # (trivially-converged inputs then succeed instead of raising).
+        if rnd > 0 or max_iter == 1:
             changed = (
                 jumped.alias("n")
                 .join(comp.alias("o"), "node")
@@ -106,8 +121,13 @@ def connected_components(edges: DataFrame, a: str = "a_id",
             converged = changed.isEmpty()
         else:
             converged = False
+        # the previous round's label table is dead once the probe above
+        # has consumed it — free its checkpoint blocks so executor
+        # storage stays O(|V|), not O(rounds·|V|)
+        _free_local_checkpoint(comp)
         comp = jumped
         if converged:
+            _free_local_checkpoint(sym)
             return comp
     raise ValueError(
         f"connected_components did not converge in {max_iter} rounds — "

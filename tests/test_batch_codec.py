@@ -355,3 +355,39 @@ def test_factorize_exact_property_vs_pure_python():
         assert uniq == want_uniq
 
     prop()
+
+
+def test_len_prefixed_blob_padded_budget_fallback():
+    """One near-cap payload among many tiny ones must NOT take the padded
+    path (r7: the m*w transient would be multi-GB for a ~1M-unique pool) —
+    and the per-entry fallback it triggers stays wire-identical."""
+    from compress_otel_collector_spark.codec.batch import (
+        _PAD_BYTE_BUDGET,
+        _len_prefixed_blob,
+    )
+    from compress_otel_collector_spark.codec.varint import encode_sleb128
+
+    w = 4096
+    m = _PAD_BYTE_BUDGET // w + 2  # padded just over budget, payload ~w
+    raws = [b"y" * w] + [b""] * (m - 1)
+    assert _len_prefixed_blob(raws) is None
+    # under-budget padding still vectorizes, byte-equal to naive
+    small = [b"y" * 64] + [b""] * 100
+    assert _len_prefixed_blob(small) == b"".join(
+        encode_sleb128(len(r)) + r for r in small)
+
+
+def test_empty_input_with_attributes_spec_skips_pool():
+    """Empty input with attributes_spec set must emit the same wire bytes
+    as the no-spec empty encode — the never-used-pool skip is uniform
+    across the columnar and generic paths (r7 ADVICE fix)."""
+    pdf = make_pdf(2).iloc[:0]
+    plain = encode_span_dataframe(pdf)
+    specced = pdf.drop(columns=["attributes"]).assign(**{
+        "attr:v": pd.Series([], dtype=object),
+        "attr:n": pd.Series([], dtype=object),
+    })
+    blob = encode_span_dataframe(
+        specced, attributes_spec={"v": "str", "n": "int"})
+    assert blob == plain
+    assert decode(blob, trace_model()) == {"resourceSpans": None}
