@@ -22,11 +22,84 @@ from __future__ import annotations
 import json
 import os
 import sys
+import threading
 import time
 
 N_SYNTH = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "1000000"))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+class StallMonitor:
+    """Direct measurement of host full-process stalls (r6 verdict #1).
+
+    The sandbox host has TWO degraded regimes: progressive throttle (the
+    sentinel ratio calibrates it) and random multi-ten-second FULL-PROCESS
+    freezes that are invisible to the sentinel — r6's official record
+    published a 4× "regression" that took a judge-side same-host A/B to
+    attribute. This monitor measures the second regime in-artifact: a
+    daemon thread samples a monotonic clock every ``interval`` seconds;
+    any inter-sample gap exceeding ``interval + threshold`` means the
+    whole process (or at least this thread) was frozen for that long, and
+    is recorded. ``stall_between(t0, t1)`` sums the overlap of recorded
+    freezes with a measured run's window, giving each run its own
+    ``stall_sec``. Driver-side heavy work here is py4j socket waits and
+    numpy kernels (both release the GIL), so a >1 s heartbeat gap is host
+    scheduling, not GIL contention.
+    """
+
+    def __init__(self, interval: float = 0.1, threshold: float = 1.0):
+        self.interval = interval
+        self.threshold = threshold
+        self._events: list[tuple[float, float]] = []  # (detect_t, gap_sec)
+        self._lock = threading.Lock()
+        self._thread: threading.Thread | None = None
+
+    def start(self) -> "StallMonitor":
+        if self._thread is None:
+            self._thread = threading.Thread(
+                target=self._run, daemon=True, name="stall-monitor")
+            self._thread.start()
+        return self
+
+    def _run(self):
+        last = time.monotonic()
+        while True:
+            time.sleep(self.interval)
+            now = time.monotonic()
+            gap = now - last - self.interval
+            if gap > self.threshold:
+                with self._lock:
+                    self._events.append((now, gap))
+            last = now
+
+    def stall_between(self, t0: float, t1: float) -> float:
+        """Total frozen seconds overlapping the monotonic window [t0, t1]."""
+        with self._lock:
+            events = list(self._events)
+        total = 0.0
+        for detect_t, gap in events:
+            total += max(0.0, min(t1, detect_t) - max(t0, detect_t - gap))
+        return total
+
+    def summary(self) -> dict:
+        with self._lock:
+            events = list(self._events)
+        return {
+            "events": len(events),
+            "total_sec": round(sum(g for _, g in events), 3),
+            "max_gap_sec": round(max((g for _, g in events), default=0.0), 3),
+        }
+
+
+_MONITOR: StallMonitor | None = None
+
+
+def _monitor() -> StallMonitor:
+    global _MONITOR
+    if _MONITOR is None:
+        _MONITOR = StallMonitor().start()
+    return _MONITOR
 
 
 def make_spark(cores: int, task_cpus: int = 1,
@@ -177,7 +250,9 @@ def run_headline_queries(spark, sf_dir: str):
     # contiguous stretch of *different* queries once each instead of on
     # the same query every repeat, and the median rejects it — r3's
     # best-of-2-in-place recorded a phantom 3× regression exactly this
-    # way. The raw runs ride along in the JSON so any spread is visible.
+    # way. The raw [wall, stall_sec] runs ride along in the JSON so any
+    # spread is visible AND attributable (stall_sec = heartbeat-measured
+    # full-process freeze time inside that run's window).
     for name in names:
         one(name)
     # throttle sentinel, first reading: the same fixed query is re-timed
@@ -186,40 +261,105 @@ def run_headline_queries(spark, sf_dir: str):
     # is attributable to the documented progressive host throttle instead
     # of masquerading as a code regression
     sentinel_first = one(SENTINEL_QUERY)
-    runs: dict[str, list[float]] = {name: [] for name in names}
+    runs: dict[str, list[tuple[float, float]]] = {name: [] for name in names}
     for _ in range(3):
         for name in names:
             runs[name].append(one(name))
     import statistics
 
-    out = {name: round(statistics.median(rs), 3)
+    out = {name: round(statistics.median([w for w, _s in rs]), 3)
            for name, rs in runs.items()}
-    return out, {name: [round(r, 3) for r in rs]
+    return out, {name: [[round(w, 3), round(s, 3)] for w, s in rs]
                  for name, rs in runs.items()}, sentinel_first
 
 
-def _mins(query_runs: dict[str, list[float]]) -> dict[str, float]:
-    """Per-query best-of-runs — the stall-free floor. The host sometimes
-    freezes whole processes for tens of seconds at RANDOM points (not the
-    progressive drift the sentinel calibrates); a stall landing on 1 of 3
-    runs can still capture the median, so the JSON carries the min
-    alongside: medians are the headline, mins bound what the code itself
-    costs when a round's medians look anomalous against the sentinel."""
-    return {name: round(min(rs), 3) for name, rs in query_runs.items()}
+def _mins(query_runs: dict[str, list]) -> dict[str, float]:
+    """Per-query best-of-runs wall — the stall-free floor. The host
+    sometimes freezes whole processes for tens of seconds at RANDOM points
+    (not the progressive drift the sentinel calibrates); a stall landing
+    on 1 of 3 runs can still capture the median, so the JSON carries the
+    min alongside: medians are the headline, mins bound what the code
+    itself costs when a round's medians look anomalous."""
+    return {name: round(min(w for w, _s in rs), 3)
+            for name, rs in query_runs.items()}
+
+
+def _mins_corrected(query_runs: dict[str, list]) -> dict[str, float]:
+    """Per-query min of (wall − measured stall): the best stall-CORRECTED
+    run. When every run of a long query eats a stall (r6: all three
+    `pipeline_synth` runs did), the plain min still over-reports; this is
+    the number to compare across rounds when `stalls.events` > 0."""
+    return {name: round(min(w - s for w, s in rs), 3)
+            for name, rs in query_runs.items()}
 
 
 #: the fixed query re-timed at bench start and end (throttle sentinel)
 SENTINEL_QUERY = "tpch_q1"
 
 
-def time_query(spark, sf_dir: str, name: str) -> float:
-    """Wall time of one registered query as a noop-sink write."""
+def time_query(spark, sf_dir: str, name: str) -> tuple[float, float]:
+    """(wall seconds, stall seconds) of one registered query as a
+    noop-sink write; stall = heartbeat-measured process freeze time
+    overlapping the run (StallMonitor)."""
     import __spark_entry__ as entrymod
 
-    t0 = time.time()
+    mon = _monitor()
+    t0 = time.monotonic()
     entrymod.queries()[name](spark, sf_dir).write.format("noop") \
         .mode("overwrite").save()
-    return time.time() - t0
+    t1 = time.monotonic()
+    return t1 - t0, mon.stall_between(t0, t1)
+
+
+def _memory_metrics(spark) -> dict:
+    """Shuffle-spill + peak-memory for the session so far, read from the
+    AppStatusStore (the same store the REST status API serves; works with
+    ``spark.ui.enabled=false``). Spill and peak execution memory are the
+    two ways a 100 TB job dies that throughput scaling alone cannot see
+    (r6 verdict #7); publishing them per scaling level shows the pinned
+    partition layout fits executor memory with headroom. Best-effort:
+    a Spark-internals change degrades to an ``error`` key, not a crash."""
+    try:
+        jvm = spark._jvm
+        store = spark._jsc.sc().statusStore()
+        empty = jvm.java.util.ArrayList()
+        darr = spark._sc._gateway.new_array(jvm.double, 0)
+        stages = store.stageList(empty, False, False, darr, empty)
+        mem_spill = disk_spill = peak_exec = 0
+        for i in range(stages.length()):
+            s = stages.apply(i)
+            mem_spill += s.memoryBytesSpilled()
+            disk_spill += s.diskBytesSpilled()
+            peak_exec = max(peak_exec, s.peakExecutionMemory())
+        peak_heap = 0
+        execs = store.executorList(False)
+        for i in range(execs.length()):
+            pm = execs.apply(i).peakMemoryMetrics()
+            if pm.isDefined():
+                peak_heap = max(peak_heap,
+                                pm.get().getMetricValue("JVMHeapMemory"))
+        return {
+            "memory_spill_bytes": int(mem_spill),
+            "disk_spill_bytes": int(disk_spill),
+            "peak_execution_memory_bytes": int(peak_exec),
+            "peak_jvm_heap_bytes": int(peak_heap),
+        }
+    except Exception as ex:  # pragma: no cover - defensive
+        return {"error": f"{type(ex).__name__}: {ex}"[:160]}
+
+
+def _merge_memory_metrics(per_visit: list[dict]) -> dict:
+    """Max across a level's visits (each visit = its own session)."""
+    out = {}
+    for key in ("memory_spill_bytes", "disk_spill_bytes",
+                "peak_execution_memory_bytes", "peak_jvm_heap_bytes"):
+        vals = [m[key] for m in per_visit if key in m]
+        if vals:
+            out[key] = max(vals)
+    errs = [m["error"] for m in per_visit if "error" in m]
+    if errs:
+        out["error"] = errs[0]
+    return out
 
 
 #: Fixed reduce-partition count for the scaling levels. On a real cluster
@@ -276,8 +416,10 @@ def scaling_runs(n_pages: int, visits: int = 5):
         "4_executors": (8, 2, 4),
     }
     thr: dict[str, list[float]] = {label: [] for label in levels}
+    mems: dict[str, list[dict]] = {label: [] for label in levels}
 
-    def one_visit(cores, task_cpus, parts=SCALING_PARTITIONS):
+    def one_visit(cores, task_cpus, parts=SCALING_PARTITIONS,
+                  mem_sink: list[dict] | None = None):
         spark = make_spark(cores, task_cpus=task_cpus,
                            shuffle_partitions=parts)
         try:
@@ -288,13 +430,16 @@ def scaling_runs(n_pages: int, visits: int = 5):
                                shuffle_partitions=parts)
             dt, pages, _ = run_pipeline_synth(spark, n_pages, arms=False,
                                               shuffle_partitions=parts)
+            if mem_sink is not None:
+                mem_sink.append(_memory_metrics(spark))
             return pages / dt
         finally:
             spark.stop()
 
     for _ in range(visits):  # ABAB interleave
         for label, (cores, task_cpus, _slots) in levels.items():
-            thr[label].append(one_visit(cores, task_cpus))
+            thr[label].append(one_visit(cores, task_cpus,
+                                        mem_sink=mems[label]))
             time.sleep(1)
 
     results = {}
@@ -307,6 +452,7 @@ def scaling_runs(n_pages: int, visits: int = 5):
             "pages_per_sec": round(med, 1),
             "sec": round(n_pages / med, 2),
             "runs": [round(t, 1) for t in thr[label]],
+            "memory": _merge_memory_metrics(mems[label]),
         }
     # saturated headline is PLAIN local[32] — default (data×core-sized)
     # partitions, not the pinned scaling layout, so it measures what the
@@ -316,7 +462,9 @@ def scaling_runs(n_pages: int, visits: int = 5):
     # cooled-host run, which left the table unable to self-refresh)
     for label, parts in (("local32_saturated", None),
                          ("local32_pinned", SCALING_PARTITIONS)):
-        sat_runs = [one_visit(CPUS, 1, parts=parts) for _ in range(3)]
+        sat_mems: list[dict] = []
+        sat_runs = [one_visit(CPUS, 1, parts=parts, mem_sink=sat_mems)
+                    for _ in range(3)]
         med = statistics.median(sat_runs)
         results[label] = {
             "cores": CPUS,
@@ -325,6 +473,7 @@ def scaling_runs(n_pages: int, visits: int = 5):
             "pages_per_sec": round(med, 1),
             "sec": round(n_pages / med, 2),
             "runs": [round(t, 1) for t in sat_runs],
+            "memory": _merge_memory_metrics(sat_mems),
         }
     eff = round(
         (results["4_executors"]["pages_per_sec"]
@@ -399,6 +548,17 @@ count is data-sized, not cluster-sized.
 """
 
 
+def _mem_cells(r):
+    """spill | peak-exec-mem cells for one scaling-table row."""
+    m = r.get("memory") or {}
+    if "memory_spill_bytes" not in m:
+        return "n/a | n/a"
+    spill = m["memory_spill_bytes"] + m.get("disk_spill_bytes", 0)
+    spill_txt = "0" if spill == 0 else f"{spill / 2**20:,.1f} MiB"
+    return (f"{spill_txt} | "
+            f"{m.get('peak_execution_memory_bytes', 0) / 2**20:,.0f} MiB")
+
+
 def _sat_row(results, key):
     """The input/layout/discipline/pages-s cells of one unified-table row."""
     r = results.get(key)
@@ -414,12 +574,29 @@ def _sat_row(results, key):
     return f"{r['pages']:,} | {layout} | {disc} | {r['pages_per_sec']:,.1f}"
 
 
+#: headings that must survive every BENCH/BASELINE.md regeneration —
+#: the r5 "Arms cost floor" table was silently destroyed by the r6
+#: --scaling rewrite (its justification lived only in the generated
+#: body); standing content belongs in BENCH/NOTES.md, and this list
+#: makes a rewrite that loses any of it FAIL instead of shipping
+STANDING_SECTIONS = (
+    "## Throughput — ONE table",
+    "## Throttle sentinel",
+    "## Compression arms",
+    "## Scaling efficiency",
+    "## Standing measurement annotations",   # the NOTES.md banner
+    "## Arms cost floor",                    # the r5 task #4 deliverable
+    "Host-state ledger",
+)
+
+
 def write_baseline_md(results, eff, pipeline_sec, pages, ratios,
                       ratios_real, mech=None, notes: str = ""):
     """Regenerates BENCH/BASELINE.md in full. ``notes`` is extra markdown
     (e.g. a measurement-anomaly disclosure) appended after the scaling
     table — pass it when re-emitting the file so hand annotations are not
-    silently erased by the next ``--scaling`` run."""
+    silently erased by the next ``--scaling`` run. Raises if any
+    ``STANDING_SECTIONS`` heading is missing from the result."""
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(f"""# BENCH/BASELINE — measured results
@@ -522,11 +699,20 @@ is the saturated-host headline, measured last under the same session
 discipline. Input: {results['1_executor'].get('pages', 'see table'):,} pages —
 4× round 4's, per the r4 re-proof requirement.
 
-| level | cores | slots | sec | pages/sec | runs |
-|---|---|---|---|---|---|
-| 1 executor | {results['1_executor']['cores']} | 1 | {results['1_executor']['sec']} | {results['1_executor']['pages_per_sec']:,} | {results['1_executor']['runs']} |
-| 4 executors | {results['4_executors']['cores']} | 4 | {results['4_executors']['sec']} | {results['4_executors']['pages_per_sec']:,} | {results['4_executors']['runs']} |
-| saturated host | 32 | 32 | {results['local32_saturated']['sec']} | {results['local32_saturated']['pages_per_sec']:,} | {results['local32_saturated']['runs']} |
+| level | cores | slots | sec | pages/sec | shuffle spill | peak exec mem | runs |
+|---|---|---|---|---|---|---|---|
+| 1 executor | {results['1_executor']['cores']} | 1 | {results['1_executor']['sec']} | {results['1_executor']['pages_per_sec']:,} | {_mem_cells(results['1_executor'])} | {results['1_executor']['runs']} |
+| 4 executors | {results['4_executors']['cores']} | 4 | {results['4_executors']['sec']} | {results['4_executors']['pages_per_sec']:,} | {_mem_cells(results['4_executors'])} | {results['4_executors']['runs']} |
+| saturated host | 32 | 32 | {results['local32_saturated']['sec']} | {results['local32_saturated']['pages_per_sec']:,} | {_mem_cells(results['local32_saturated'])} | {results['local32_saturated']['runs']} |
+
+Memory discipline (r7): "shuffle spill" sums memory+disk
+`BytesSpilled` over every stage of a level's sessions (max across
+visits); "peak exec mem" is the largest per-stage
+`peakExecutionMemory` — both read from the AppStatusStore (the REST
+status API's backing store). Zero spill with peak execution memory far
+under an executor's share means the pinned {SCALING_PARTITIONS}-partition
+layout holds with headroom — the partitions-fit-in-memory premise of the
+100 TB sizing, now measured rather than asserted.
 
 **efficiency (N → 4N executors) = (thr_4 / thr_1) / 4 = {eff}**
 {'✅ meets' if eff >= 0.8 else '⚠️ below'} the ≥0.8 target.{
@@ -541,10 +727,19 @@ partition-aligned write; there is no global state, no driver-side loop, and
 the only serial work is job scheduling + the final count aggregation.
 
 """)
+    with open("BENCH/BASELINE.md") as f:
+        written = f.read()
+    missing = [s for s in STANDING_SECTIONS if s not in written]
+    if missing:
+        raise RuntimeError(
+            f"BENCH/BASELINE.md rewrite lost standing sections {missing} — "
+            "durable content must live in BENCH/NOTES.md (appended on every "
+            "rewrite); refusing to ship a regeneration that destroys it")
 
 
 def main():
     scaling = "--scaling" in sys.argv
+    mon = _monitor()  # start the heartbeat before any measurement
     spark = make_spark(CPUS)
     queries, query_runs, sentinel_first = run_headline_queries(spark, SF_DIR)
     import statistics
@@ -556,20 +751,30 @@ def main():
     # queries): the host throttles in multi-second bursts (documented in
     # BENCH/BASELINE.md); interleaving lands a burst on different runs and
     # the median rejects it without hiding a real regression the way a
-    # bare min would.
+    # bare min would. When the sentinel's first reading shows a degraded
+    # host (> 0.7 s vs the ~0.5 s healthy floor), the two LONG queries get
+    # SIX runs instead of three — a random 10-30 s freeze hitting every
+    # run of a 3-run long query is exactly how r6's official record
+    # published a garbage headline; more samples + per-run stall_sec make
+    # the record self-attributing.
+    n_pipe_runs = 6 if sentinel_first[0] > 0.7 else 3
     pipe_runs, arms_runs = [], []
     pages, ratios = 0, None
-    for _ in range(3):
+    for _ in range(n_pipe_runs):
+        t0 = time.monotonic()
         dt, pages, _r = run_pipeline_synth(spark, N_SYNTH, arms=False)
-        pipe_runs.append(dt)
+        pipe_runs.append((dt, mon.stall_between(t0, time.monotonic())))
+        t0 = time.monotonic()
         a_dt, _, ratios = run_pipeline_synth(spark, N_SYNTH, arms=True)
-        arms_runs.append(a_dt)
-    pipe_sec = statistics.median(pipe_runs)
-    arms_sec = statistics.median(arms_runs)
+        arms_runs.append((a_dt, mon.stall_between(t0, time.monotonic())))
+    pipe_sec = statistics.median([w for w, _s in pipe_runs])
+    arms_sec = statistics.median([w for w, _s in arms_runs])
     queries["pipeline_synth"] = round(pipe_sec, 3)
     queries["pipeline_arms"] = round(arms_sec, 3)
-    query_runs["pipeline_synth"] = [round(r, 3) for r in pipe_runs]
-    query_runs["pipeline_arms"] = [round(r, 3) for r in arms_runs]
+    query_runs["pipeline_synth"] = [[round(w, 3), round(s, 3)]
+                                    for w, s in pipe_runs]
+    query_runs["pipeline_arms"] = [[round(w, 3), round(s, 3)]
+                                   for w, s in arms_runs]
     # realistic (telemetry-repeats) shape: the codec's home turf — report
     # compression for both shapes, honestly labeled
     _, _, ratios_real = run_pipeline_synth(spark, N_SYNTH, arms=True,
@@ -586,13 +791,20 @@ def main():
         "value": round(sum(queries.values()), 3),
         "unit": "sec",
         "queries": queries,
+        # per-run [wall_sec, stall_sec]: stall_sec is heartbeat-measured
+        # full-process freeze time inside that run (StallMonitor) — a
+        # run with stall_sec ≈ wall − typical-wall was host-frozen, not
+        # slow code
         "query_runs": query_runs,
         "query_mins": _mins(query_runs),
+        "query_mins_stall_corrected": _mins_corrected(query_runs),
+        "stalls": mon.summary(),
         "throttle_sentinel": {
             "query": SENTINEL_QUERY,
-            "first_sec": round(sentinel_first, 3),
-            "last_sec": round(sentinel_last, 3),
-            "ratio": round(sentinel_last / sentinel_first, 3),
+            "first_sec": round(sentinel_first[0], 3),
+            "last_sec": round(sentinel_last[0], 3),
+            "ratio": round(sentinel_last[0] / sentinel_first[0], 3),
+            "long_query_runs": n_pipe_runs,
         },
         "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
         "pages": pages,

@@ -1,0 +1,127 @@
+"""Bench harness instrumentation (r6 verdict #1 and #2).
+
+#1: the driver's official BENCH record must be stall-attributable without
+a judge-side A/B — StallMonitor heartbeat-measures full-process freezes,
+and the SIGSTOP/CONT test below synthesizes one and checks it is
+correctly attributed to the frozen window.
+#2: BENCH/BASELINE.md regeneration must refuse to destroy standing
+sections (the r5 "Arms cost floor" table died this way at 6f4a415).
+"""
+
+import json
+import os
+import pathlib
+import signal
+import subprocess
+import sys
+import time
+
+import pytest
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+import bench  # noqa: E402
+
+
+class TestStallMonitor:
+    def test_overlap_accounting_exact(self):
+        mon = bench.StallMonitor()
+        # one synthetic freeze: monotonic 8.0 → 10.0 (detected at 10.0)
+        mon._events = [(10.0, 2.0)]
+        assert mon.stall_between(0.0, 20.0) == pytest.approx(2.0)
+        assert mon.stall_between(9.0, 20.0) == pytest.approx(1.0)
+        assert mon.stall_between(9.0, 9.5) == pytest.approx(0.5)
+        assert mon.stall_between(10.5, 20.0) == 0.0
+        assert mon.stall_between(0.0, 7.9) == 0.0
+        mon._events.append((15.0, 1.0))  # second freeze 14 → 15
+        assert mon.stall_between(0.0, 20.0) == pytest.approx(3.0)
+        s = mon.summary()
+        assert s["events"] == 2
+        assert s["total_sec"] == pytest.approx(3.0)
+        assert s["max_gap_sec"] == pytest.approx(2.0)
+
+    def test_sigstop_is_attributed(self):
+        """The r6 verdict's done-criterion: a synthetic full-process stall
+        (SIGSTOP → 1.5 s → SIGCONT) lands in the monitored window's
+        stall_sec. Run in a subprocess so the freeze can't perturb the
+        test runner itself."""
+        code = (
+            "import json, sys, time\n"
+            f"sys.path.insert(0, {str(REPO)!r})\n"
+            "from bench import StallMonitor\n"
+            "mon = StallMonitor(interval=0.05, threshold=0.4).start()\n"
+            "t0 = time.monotonic()\n"
+            "print('READY', flush=True)\n"
+            "time.sleep(3.0)\n"
+            "t1 = time.monotonic()\n"
+            "print(json.dumps({'stall': mon.stall_between(t0, t1),"
+            " 'wall': t1 - t0}), flush=True)\n"
+        )
+        proc = subprocess.Popen([sys.executable, "-c", code],
+                                stdout=subprocess.PIPE)
+        try:
+            assert proc.stdout.readline().strip() == b"READY"
+            time.sleep(0.3)
+            os.kill(proc.pid, signal.SIGSTOP)
+            time.sleep(1.5)
+            os.kill(proc.pid, signal.SIGCONT)
+            out, _ = proc.communicate(timeout=30)
+        finally:
+            if proc.poll() is None:
+                proc.kill()
+        got = json.loads(out.splitlines()[-1])
+        # the 1.5 s freeze must be attributed (lower bound allows sleep/
+        # scheduler slop; upper bound is the window itself — a genuinely
+        # degraded host can add ITS OWN stalls on top, which is correct
+        # attribution, not test noise)
+        assert got["stall"] >= 1.2, got
+        assert got["stall"] <= got["wall"], got
+
+    def test_mins_and_corrected_mins(self):
+        runs = {"q": [[5.0, 0.0], [30.0, 27.5], [6.0, 2.0]]}
+        assert bench._mins(runs) == {"q": 5.0}
+        assert bench._mins_corrected(runs) == {"q": 2.5}
+
+
+def _fake_campaign():
+    lvl = {"cores": 2, "slots": 1, "pages": 100, "sec": 1.0,
+           "pages_per_sec": 100.0, "runs": [100.0]}
+    results = {"1_executor": dict(lvl),
+               "4_executors": dict(lvl, cores=8, slots=4,
+                                   pages_per_sec=380.0),
+               "local32_saturated": dict(lvl, cores=32, slots=32),
+               "local32_pinned": dict(lvl, cores=32, slots=32)}
+    ratios = {k: 1000 for k in (
+        "blobs", "raw_bytes", "zstd_bytes", "gzip_bytes",
+        "json_zstd_bytes", "proto_zstd_bytes", "arrow_zstd_bytes")}
+    ratios.update({"zstd_vs_json_zstd_ratio": 0.5,
+                   "zstd_vs_proto_zstd_ratio": 0.5,
+                   "zstd_vs_arrow_zstd_ratio": 0.5,
+                   "zstd_per_page": 10.0})
+    return results, ratios
+
+
+class TestStandingSections:
+    def test_rewrite_with_real_notes_keeps_all_sections(self, tmp_path,
+                                                        monkeypatch):
+        notes = (REPO / "BENCH" / "NOTES.md").read_text()
+        monkeypatch.chdir(tmp_path)
+        results, ratios = _fake_campaign()
+        bench.write_baseline_md(results, 0.95, 1.0, 100, ratios, ratios,
+                                notes=notes)
+        body = (tmp_path / "BENCH" / "BASELINE.md").read_text()
+        for section in bench.STANDING_SECTIONS:
+            assert section in body
+
+    def test_rewrite_losing_floor_table_raises(self, tmp_path, monkeypatch):
+        monkeypatch.chdir(tmp_path)
+        results, ratios = _fake_campaign()
+        with pytest.raises(RuntimeError, match="Arms cost floor"):
+            bench.write_baseline_md(results, 0.95, 1.0, 100, ratios,
+                                    ratios, notes="")
+
+    def test_repo_notes_carry_the_floor_table(self):
+        notes = (REPO / "BENCH" / "NOTES.md").read_text()
+        assert "## Arms cost floor" in notes
+        assert "arms / production = 1.063" in notes
