@@ -174,7 +174,8 @@ def stratified_hash_sample(df: DataFrame, fraction_pct: int,
 def pack_sequences(df: DataFrame, seq_len: int = 2048,
                    n_shards: int = 16, text_col: str = "text",
                    id_col: str = "doc_id",
-                   tokenizer: str = "ws") -> DataFrame:
+                   tokenizer: str = "ws",
+                   merges: str | None = None) -> DataFrame:
     """Assign documents to fixed-length training sequences (the packing
     pass every LLM data pipeline runs before writing training shards):
     docs are concatenated head-to-tail, ``seq_len`` tokens per sequence,
@@ -221,7 +222,8 @@ def pack_sequences(df: DataFrame, seq_len: int = 2048,
     if tokenizer == "bpe":
         from .bpe import bpe_token_counts
 
-        counts = bpe_token_counts(df, text_col=text_col, id_col=id_col)
+        counts = bpe_token_counts(df, text_col=text_col, id_col=id_col,
+                                  merges=merges)
         base = (
             counts.select("doc_id",
                           F.col("bpe_tokens").alias("n_tokens"),

@@ -17,7 +17,8 @@ def _tokens(text_col: str) -> Column:
 
 def token_stats(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id",
-                subword: bool = False) -> DataFrame:
+                subword: bool = False,
+                merges: str | None = None) -> DataFrame:
     """Whitespace token count + a BPE-ish subword proxy (4-char chunks,
     ceil(len/4) per token — a standard fast token estimate).
 
@@ -27,6 +28,9 @@ def token_stats(df: DataFrame, text_col: str = "text",
     projection — the count a training pipeline actually budgets in
     (whitespace under-counts subwords 1.3-1.5x on web text). The JVM
     columns stay in whole-stage codegen; zero shuffles either way.
+    ``merges``: optional GPT-2-format ``vocab.bpe`` path for a real
+    production vocabulary (``operators.bpe.get_tokenizer``); None = the
+    hermetic self-trained table.
     """
     toks = _tokens(text_col)
     bpe_ish = F.aggregate(
@@ -42,7 +46,8 @@ def token_stats(df: DataFrame, text_col: str = "text",
     if subword:
         from .bpe import bpe_tokens_col
 
-        cols.insert(3, bpe_tokens_col(text_col).alias("bpe_tokens"))
+        cols.insert(3, bpe_tokens_col(text_col, merges=merges)
+                    .alias("bpe_tokens"))
     return df.select(*cols)
 
 

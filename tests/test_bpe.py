@@ -62,7 +62,7 @@ class TestEncode:
         # the lru_cache must be a pure memo: cold and warm agree
         s = "the tokenizer caches pre-tokens across calls"
         warm = bpe.bpe_encode(s)
-        bpe._encode_pretoken.cache_clear()
+        bpe._DEFAULT_TOK._encode_pretoken.cache_clear()
         assert bpe.bpe_encode(s) == warm
 
     def test_empty_and_whitespace(self):
@@ -109,3 +109,86 @@ class TestSparkCounts:
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
         assert plan.count("ArrowEvalPython") == 1
+
+
+FIXTURE = "tests/fixtures/mini_vocab.bpe"
+
+
+class TestMergesFile:
+    """GPT-2 ``vocab.bpe`` text-format loading (r6 verdict #3): the
+    checked-in fixture is a hand-written PUBLIC-FORMAT file (visible-
+    unicode alphabet, ``#version`` header) exercising Ġ (space byte),
+    Ċ (newline byte) and multi-level symbol composition; golden ids were
+    hand-derived from the merge ranks and pin parser + kernel together."""
+
+    def test_alphabet_known_points(self):
+        v = bpe._bytes_to_unicode()
+        assert len(v) == 256 and len(set(v.values())) == 256
+        assert v[0x20] == "Ġ"   # Ġ = space
+        assert v[0x0A] == "Ċ"   # Ċ = newline
+        assert v[ord("A")] == "A"    # printable bytes map to themselves
+
+    def test_fixture_golden_ids(self):
+        tok = bpe.BPETokenizer.from_merges_file(FIXTURE)
+        assert tok.vocab_size() == 271  # 256 bytes + 15 merges
+        s = "the word and the words\n\nin order"
+        ids = tok.encode(s)
+        # hand-derived: "the"→t+he (he merges first, classic BPE order
+        # artifact), " word"→266, " and"→269, " the"→260, " words"→266+s,
+        # interior newlines pre-tokenize singly (GPT-2 \s+(?!\S) rule),
+        # "in"→261, " order"→Ġ+or+d+er
+        assert ids == [116, 256, 266, 269, 260, 266, 115, 10, 10,
+                       261, 32, 264, 100, 262]
+        assert tok.decode(ids) == s
+        assert tok.count(s) == len(ids)
+        # trailing double newline DOES hit the ĊĊ merge (id 270)
+        assert tok.encode("x\n\n") == [120, 270]
+
+    def test_file_loaded_lossless_roundtrip(self):
+        tok = bpe.get_tokenizer(FIXTURE)
+        assert tok is bpe.get_tokenizer(FIXTURE)  # per-path cache
+
+        @settings(max_examples=150, deadline=None)
+        @given(st.text(max_size=40))
+        def prop(s):
+            assert tok.decode(tok.encode(s)) == s
+        prop()
+
+    def test_malformed_files_fail_loudly(self):
+        with pytest.raises(ValueError, match="neither a base byte"):
+            bpe.BPETokenizer(bpe.parse_merges_text("Ġth e\n"))
+        with pytest.raises(ValueError, match="expected 'sym1 sym2'"):
+            bpe.parse_merges_text("a b c\n")
+        with pytest.raises(ValueError, match="expected 'sym1 sym2'"):
+            bpe.parse_merges_text("lonely\n")
+
+    def test_default_unchanged_by_knob(self):
+        # threading merges=None everywhere must keep the pinned table
+        assert bpe.get_tokenizer(None) is bpe._DEFAULT_TOK
+        assert bpe.bpe_count("the fox") == bpe._DEFAULT_TOK.count("the fox")
+
+
+class TestMergesKnobSpark:
+    def test_counts_and_packing_use_the_file_vocab(self, spark):
+        rows = [(1, "the word and the words"), (2, "the quick brown fox"),
+                (3, ""), (4, None)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        ftok = bpe.get_tokenizer(FIXTURE)
+        got = {r["doc_id"]: r["bpe_tokens"]
+               for r in bpe.bpe_token_counts(df, merges=FIXTURE).collect()}
+        assert got == {i: (ftok.count(t) if t else 0) for i, t in rows}
+        # and differs from the default table on this text (real knob)
+        dflt = {r["doc_id"]: r["bpe_tokens"]
+                for r in bpe.bpe_token_counts(df).collect()}
+        assert dflt != got
+        from compress_otel_collector_spark.operators.curation import (
+            pack_sequences)
+        packed = {r["doc_id"]: r["n_tokens"] for r in pack_sequences(
+            df, seq_len=8, n_shards=2, tokenizer="bpe",
+            merges=FIXTURE).collect()}
+        assert packed == {i: ftok.count(t) for i, t in rows if t}
+        from compress_otel_collector_spark.operators.textstats import (
+            token_stats)
+        ts = {r["doc_id"]: r["bpe_tokens"] for r in token_stats(
+            df, subword=True, merges=FIXTURE).collect()}
+        assert ts == got
