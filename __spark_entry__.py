@@ -563,7 +563,13 @@ def _q_corpus_curation(spark, sf_dir):
     keep-first → canonical-URL dedup (r4 verdict #8: URL-variant
     duplicates — tracking params, host case, trailing slash — collapse
     via operators.curation.canonical_url; the twin reuses the emitted
-    canonical_url_sql) → PII accounting (r5: operators.curation
+    canonical_url_sql) → NEAR-dup cluster drop (r7, r6 verdict #5: the production last
+    mile — minhash-LSH candidate pairs over the kept docs transitively
+    closed by operators.cluster.connected_components, keeping only each
+    duplicate cluster's min-id representative via drop_near_duplicates;
+    the twin recomputes the identical pair set with the namespaced
+    ``_minhash_ctes`` chain and closes it with the recursive
+    ``_cc_losers_ctes``) → PII accounting (r5: operators.curation
     pii_count_expr over deterministically planted contact lines — every
     kept doc carries one; the twin reuses the emitted pii_count_sql, so
     the redaction count is exactly recomputable) → sequence packing
@@ -577,11 +583,15 @@ def _q_corpus_curation(spark, sf_dir):
     one deterministically: docs (2k, 2k+1) crawl the same page through
     two surface forms that only canonicalization unifies. The shape a
     100 TB curation job actually runs — filters, canonicalization and
-    PII counting are narrow, the shuffles are the two dedup hash-aggs
-    and the final per-source aggregate."""
+    PII counting are narrow, the shuffles are the two dedup hash-aggs,
+    the LSH bucket hash-agg + the label-table-only CC rounds, and the
+    final per-source aggregate."""
     from compress_otel_collector_spark.operators import (
         canonical_url,
         dedup_keep_first,
+    )
+    from compress_otel_collector_spark.operators.cluster import (
+        drop_near_duplicates,
     )
     from compress_otel_collector_spark.operators.curation import (
         pack_sequences,
@@ -611,6 +621,10 @@ def _q_corpus_curation(spark, sf_dir):
         .withColumn("_rn", F.row_number().over(wu))
         .where(F.col("_rn") == 1)
     )
+    # near-dup cluster drop: LSH pairs over the kept docs → transitive
+    # closure → keep each cluster's min-id representative (r6 verdict #5)
+    nd_pairs = minhash_lsh_pairs(url_deduped.select("doc_id", "text"))
+    url_deduped = drop_near_duplicates(url_deduped, nd_pairs)
     # every kept doc gains one deterministic contact line so the PII
     # accounting is non-trivial and exactly recomputable in the twin
     planted = url_deduped.withColumn(
@@ -887,6 +901,73 @@ def _q_ann_recall(spark, sf_dir):
     ).orderBy("method")
 
 
+def _lsh_bucket_sql(table: int, n_planes: int = 8, dim: int = 64,
+                    vec: str = "e") -> str:
+    """DuckDB twin of ``similarity._bucket_expr``: one hash table's
+    bucket id as sign bits of the deterministic hyperplane projections.
+    The planes are LITERALS in both plans (driver-side ``_hyperplane``
+    emits the same doubles into the Spark plan and this SQL), and both
+    engines fold the dot product left-to-right over the same
+    float→double-cast vector, so the sign — hence the bucket — matches
+    bit-for-bit."""
+    from compress_otel_collector_spark.operators.similarity import (
+        _hyperplane,
+    )
+
+    terms = []
+    for p in range(n_planes):
+        plane = ", ".join(repr(v) for v in _hyperplane(dim, table * 64 + p))
+        terms.append(
+            f"(CASE WHEN list_dot_product({vec}, [{plane}]) > 0 "
+            f"THEN {2 ** p} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _embedding_dup_lsh_sql() -> str:
+    """Emitted twin for ``embedding_dup_lsh`` (see the query docstring):
+    exact brute-force pair count + the independently recomputed
+    hot-bucket footprint of the degenerate 152-copy cluster."""
+    from compress_otel_collector_spark.operators.similarity import (
+        DEFAULT_MAX_VEC_BUCKET,
+    )
+
+    per_table = " UNION ALL ".join(
+        f"SELECT {t} AS tbl, {_lsh_bucket_sql(t)} AS bucket FROM aug"
+        for t in range(4)
+    )
+    return f"""
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e
+                   FROM embeddings
+                   UNION ALL
+                   SELECT vec_id + 10000, embedding::DOUBLE[]
+                   FROM embeddings WHERE vec_id < 25),
+             p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                          round(list_dot_product(a.e, b.e) /
+                                (sqrt(list_dot_product(a.e, a.e))
+                                 * sqrt(list_dot_product(b.e, b.e))),
+                                4) AS cos
+                   FROM v a JOIN v b ON a.vec_id < b.vec_id),
+             aug AS (SELECT vec_id, e FROM v
+                     UNION ALL
+                     SELECT 20000 + t.i,
+                            (SELECT e FROM v WHERE vec_id = 0)
+                     FROM range(150) t(i)),
+             b AS ({per_table}),
+             hot AS (SELECT tbl, bucket, count(*) AS sz FROM b
+                     GROUP BY tbl, bucket
+                     HAVING count(*) > {DEFAULT_MAX_VEC_BUCKET})
+        SELECT CAST(count(*) AS BIGINT) AS exact_dup_pairs,
+               (SELECT CAST(count(*) AS BIGINT) FROM embeddings
+                WHERE vec_id < 25) AS planted_found,
+               TRUE AS lsh_subset_ok,
+               TRUE AS recall_floor_ok,
+               (SELECT CAST(count(*) AS BIGINT) FROM hot) AS hot_buckets,
+               (SELECT CAST(COALESCE(SUM(sz), 0) AS BIGINT) FROM hot)
+                   AS dropped_ids
+        FROM p WHERE cos >= 0.9
+    """
+
+
 def _q_embedding_dup_lsh(spark, sf_dir):
     """Embedding near-dup scale path (LSH candidates + exact verify),
     oracle-checked (r4 verdict #2 — was the last ``no_oracle`` row).
@@ -918,10 +999,30 @@ def _q_embedding_dup_lsh(spark, sf_dir):
     re-runs the banding in SQL and therefore carries ``HAVING count(*)
     <= cap``. The cap's behavior is pinned by the planted-hot-bucket
     test (tests/test_operators.py TestEmbeddingDupLSH).
+
+    DROPPED-MASS columns (r7, r6 verdict #6 — a corpus whose duplicate
+    mass silently vanished into capped buckets must not look "clean" to
+    the ledger): a SEPARATE augmented corpus plants a degenerate
+    152-copy cluster (150 extra copies of vec 0 at ids ≥ 20000 — the
+    zero-information signature pile-up the cap exists for), and
+    ``hot_buckets`` / ``dropped_ids`` report
+    ``operators.similarity.embedding_hot_buckets`` over it: the number
+    of over-cap (table, bucket) groups and their total membership — the
+    candidate mass the cap removed. DuckDB recomputes BOTH from the
+    emitted signature SQL (``_lsh_bucket_sql`` — the same hyperplane
+    literals both engines project against), so the cap's footprint is
+    oracle-checked, not self-reported. The degenerate cluster is NOT
+    added to the recall corpus — it would (correctly) crater recall,
+    which is the production trade the cap makes; here each column
+    isolates one property.
     """
     from compress_otel_collector_spark.operators import (
         embedding_dup_pairs,
         embedding_dup_pairs_lsh,
+    )
+    from compress_otel_collector_spark.operators.similarity import (
+        DEFAULT_MAX_VEC_BUCKET,
+        embedding_hot_buckets,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -941,14 +1042,30 @@ def _q_embedding_dup_lsh(spark, sf_dir):
     ).agg(F.count("*").alias("p"))
     extra = found.join(exact, ["a_id", "b_id"], "left_anti") \
         .agg(F.count("*").alias("x"))
+    # dropped-mass scorecard: degenerate 150-copy pile-up of vec 0 at
+    # ids ≥ 20000 over the planted corpus; hot buckets = what the cap
+    # drops, recomputed independently by the twin's signature SQL
+    degen = (
+        emb.where(F.col("vec_id") == 0).select("embedding")
+        .crossJoin(spark.range(150)
+                   .select((F.col("id") + 20000).alias("vec_id")))
+        .select("vec_id", "embedding")
+    )
+    aug = corpus.select("vec_id", "embedding").unionByName(degen)
+    hot = embedding_hot_buckets(aug, DEFAULT_MAX_VEC_BUCKET).agg(
+        F.count("*").alias("hb"),
+        F.coalesce(F.sum("bucket_size"), F.lit(0)).alias("di"))
     return (
         n_exact.crossJoin(hits).crossJoin(planted).crossJoin(extra)
+        .crossJoin(hot)
         .select(
             F.col("n").cast("long").alias("exact_dup_pairs"),
             F.col("p").cast("long").alias("planted_found"),
             (F.col("x") == 0).alias("lsh_subset_ok"),
             ((F.col("n") == 0) | (F.col("h") >= F.col("n") * 0.8))
             .alias("recall_floor_ok"),
+            F.col("hb").cast("long").alias("hot_buckets"),
+            F.col("di").cast("long").alias("dropped_ids"),
         )
     )
 
@@ -1092,20 +1209,20 @@ def _simhash_hamming_sql(max_distance: int = 3, bits: int = 64) -> str:
     )
 
 
-def _minhash_sql(num_hashes: int = 8, bands: int = 2,
-                 max_bucket: int | None = None,
-                 as_cte: bool = False) -> str:
-    """DuckDB twin of minhash_lsh_pairs. ``max_bucket`` mirrors the
-    operator's default-on hot-bucket cap: buckets above the cap are dropped
-    before pairing on BOTH sides, keeping the twin exact. ``as_cte``
-    emits the pair select as a trailing ``pairs`` CTE instead of the
-    final SELECT, so composite twins (``_minhash_clusters_sql``) build on
-    the exact same pair set."""
+def _minhash_ctes(num_hashes: int = 8, bands: int = 2,
+                  max_bucket: int | None = None,
+                  source: str = "documents", prefix: str = "") -> str:
+    """The minhash-LSH candidate-pair CTE chain WITHOUT a leading
+    ``WITH`` — composable into larger twins. ``source`` is the table/CTE
+    carrying ``(doc_id, text)``; ``prefix`` namespaces every CTE so the
+    chain can ride inside a twin that already uses ``toks``/``sh`` (the
+    curation twin does). Ends with ``{prefix}pairs``."""
     if max_bucket is None:
         from compress_otel_collector_spark.operators.dedup import (
             DEFAULT_MAX_BUCKET,
         )
         max_bucket = DEFAULT_MAX_BUCKET
+    p = prefix
     r = num_hashes // bands
     # component s = min over hex digits [8·(s%4), 8·(s%4)+8) of
     # md5(shingle || '#' || s//4) — lockstep with minhash_signatures
@@ -1115,29 +1232,67 @@ def _minhash_sql(num_hashes: int = 8, bands: int = 2,
         for s in range(num_hashes)
     )
     band_selects = " UNION ALL ".join(
-        "SELECT doc_id, '{b}=' || {expr} AS bucket FROM sig".format(
-            b=b,
+        "SELECT doc_id, '{b}=' || {expr} AS bucket FROM {p}sig".format(
+            b=b, p=p,
             expr=" || '|' || ".join(
                 f"sig{b * r + i}" for i in range(r)),
         )
         for b in range(bands)
     )
-    ctes = (
-        _SHINGLES_CTE
-        + f", sig AS (SELECT doc_id, {sigs} FROM sh GROUP BY doc_id)"
-        + f", banded AS ({band_selects})"
-        + ", cold AS (SELECT bucket FROM banded GROUP BY bucket "
-        + f"HAVING count(*) <= {max_bucket})"
-        + ", ok AS (SELECT banded.* FROM banded JOIN cold USING (bucket))"
-    )
-    pair_sel = (
+    return (
+        f"{p}toks AS (SELECT doc_id, "
+        f"list_filter(string_split(text,' '), t -> t <> '') AS t "
+        f"FROM {source})"
+        f", {p}sh AS (SELECT DISTINCT * FROM ("
+        "SELECT doc_id, unnest(list_transform(range(1, len(t)-1), "
+        "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle "
+        f"FROM {p}toks WHERE len(t) >= 3))"
+        f", {p}sig AS (SELECT doc_id, {sigs} FROM {p}sh GROUP BY doc_id)"
+        f", {p}banded AS ({band_selects})"
+        f", {p}cold AS (SELECT bucket FROM {p}banded GROUP BY bucket "
+        f"HAVING count(*) <= {max_bucket})"
+        f", {p}ok AS (SELECT {p}banded.* FROM {p}banded "
+        f"JOIN {p}cold USING (bucket))"
+        f", {p}pairs AS ("
         "SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id "
-        "FROM ok a JOIN ok b "
-        "ON a.bucket = b.bucket AND a.doc_id < b.doc_id"
+        f"FROM {p}ok a JOIN {p}ok b "
+        "ON a.bucket = b.bucket AND a.doc_id < b.doc_id)"
     )
+
+
+def _cc_losers_ctes(pairs_cte: str, prefix: str = "nd_") -> str:
+    """Recursive transitive closure over ``{pairs_cte}(a_id, b_id)`` —
+    ``{prefix}losers`` is every node that is NOT its component's minimum
+    (exactly ``connected_components`` + the ``drop_near_duplicates`` keep
+    policy). Requires the enclosing twin to be ``WITH RECURSIVE``."""
+    p = prefix
+    return (
+        f", {p}edges AS (SELECT a_id AS u, b_id AS v FROM {pairs_cte} "
+        f"UNION SELECT b_id AS u, a_id AS v FROM {pairs_cte})"
+        f", {p}reach(a, b) AS ("
+        f"SELECT u, u FROM (SELECT DISTINCT u FROM {p}edges) "
+        f"UNION SELECT r.a, e.v FROM {p}reach r "
+        f"JOIN {p}edges e ON r.b = e.u)"
+        f", {p}comp AS (SELECT a AS node, MIN(b) AS comp "
+        f"FROM {p}reach GROUP BY a)"
+        f", {p}losers AS (SELECT node AS doc_id FROM {p}comp "
+        "WHERE node <> comp)"
+    )
+
+
+def _minhash_sql(num_hashes: int = 8, bands: int = 2,
+                 max_bucket: int | None = None,
+                 as_cte: bool = False) -> str:
+    """DuckDB twin of minhash_lsh_pairs. ``max_bucket`` mirrors the
+    operator's default-on hot-bucket cap: buckets above the cap are dropped
+    before pairing on BOTH sides, keeping the twin exact. ``as_cte``
+    emits the pair select as a trailing ``pairs`` CTE instead of the
+    final SELECT, so composite twins (``_minhash_clusters_sql``) build on
+    the exact same pair set."""
+    ctes = "WITH " + _minhash_ctes(num_hashes, bands, max_bucket)
     if as_cte:
-        return ctes + f", pairs AS ({pair_sel})"
-    return ctes + " " + pair_sel
+        return ctes
+    return ctes + " SELECT a_id, b_id FROM pairs"
 
 
 def _with_recursive(sql: str) -> str:
@@ -1582,7 +1737,7 @@ def oracle_sql() -> dict[str, str]:
                                WHERE c2.c_nationkey = c.c_nationkey)
             GROUP BY 1
         """,
-        "corpus_curation": _TOKS_CTE + """
+        "corpus_curation": _with_recursive(_TOKS_CTE + """
             , m AS (SELECT doc_id,
                         len(t) AS n_tokens,
                         len(t) * 1.0 AS n,
@@ -1629,6 +1784,13 @@ def oracle_sql() -> dict[str, str]:
                      FROM u)
             , kept2 AS (SELECT source, doc_id, quality, n_tokens, text
                         FROM cu WHERE rn2 = 1)
+            -- near-dup cluster drop (r7): the namespaced minhash-LSH
+            -- chain over kept2 + recursive transitive closure; keep
+            -- only each cluster's min-id representative
+            , """ + _minhash_ctes(source="kept2", prefix="nd")
+        + _cc_losers_ctes("ndpairs") + """
+            , kept3 AS (SELECT * FROM kept2 WHERE doc_id NOT IN
+                        (SELECT doc_id FROM nd_losers))
             -- pack_sequences twin (operators/curation.py docstring):
             -- portable md5 shard + window cumsum + integer //
             , pc AS (SELECT doc_id,
@@ -1640,7 +1802,7 @@ def oracle_sql() -> dict[str, str]:
                              ORDER BY doc_id
                              ROWS BETWEEN UNBOUNDED PRECEDING
                              AND 1 PRECEDING), 0) AS cb
-                     FROM kept2 WHERE n_tokens >= 1)
+                     FROM kept3 WHERE n_tokens >= 1)
             SELECT source, count(*) AS docs_kept,
                    CAST(SUM(n_tokens) AS BIGINT) AS token_budget,
                    round(avg(quality), 4) AS avg_quality,
@@ -1652,8 +1814,8 @@ def oracle_sql() -> dict[str, str]:
                             - cb // 512 + 1) AS BIGINT) AS seqs_spanned,
                    CAST(MAX((cb + n_tokens - 1) // 512) AS BIGINT)
                        AS max_seq
-            FROM kept2 JOIN pc USING (doc_id) GROUP BY source
-        """,
+            FROM kept3 JOIN pc USING (doc_id) GROUP BY source
+        """),
         "dedup_exact": """
             SELECT md5(text) AS text_hash,
                    min(doc_id) AS keep_id,
@@ -1704,25 +1866,7 @@ def oracle_sql() -> dict[str, str]:
         # identical-vector LSH (same signature in every table) and equals
         # count(vec_id < 25); subset/recall booleans are TRUE-literal
         # (ann_recall style) with near-dup recall pinned in tests
-        "embedding_dup_lsh": """
-            WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e
-                       FROM embeddings
-                       UNION ALL
-                       SELECT vec_id + 10000, embedding::DOUBLE[]
-                       FROM embeddings WHERE vec_id < 25),
-                 p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-                              round(list_dot_product(a.e, b.e) /
-                                    (sqrt(list_dot_product(a.e, a.e))
-                                     * sqrt(list_dot_product(b.e, b.e))),
-                                    4) AS cos
-                       FROM v a JOIN v b ON a.vec_id < b.vec_id)
-            SELECT CAST(count(*) AS BIGINT) AS exact_dup_pairs,
-                   (SELECT CAST(count(*) AS BIGINT) FROM embeddings
-                    WHERE vec_id < 25) AS planted_found,
-                   TRUE AS lsh_subset_ok,
-                   TRUE AS recall_floor_ok
-            FROM p WHERE cos >= 0.9
-        """,
+        "embedding_dup_lsh": _embedding_dup_lsh_sql(),
         "embedding_topk": """
             WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS vq
                        FROM embeddings WHERE vec_id < 20),
