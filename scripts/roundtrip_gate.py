@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""1M-page full-fidelity roundtrip gate, stall-instrumented (r6 verdict #4).
+
+encode → zstd → decode → 31-field multiset-equality gate over
+``$SPARK_GRAFT_BENCH_PAGES`` synthetic pages (default 1M) on
+``local[$SPARK_GRAFT_CPUS]``, timed from the materialized parquet scan.
+Prints ONE JSON line: per-run ``[wall_sec, stall_sec]`` (stall =
+heartbeat-measured full-process freeze time, ``bench.StallMonitor``),
+median / best / best-stall-corrected, the stall summary, and the gate
+verdict (``missing``/``extra`` must both be 0). BASELINE.md's published
+gate number regenerates from this — never from an ad-hoc session — so it
+always carries its own stall attribution.
+
+Usage: ``python scripts/roundtrip_gate.py [n_runs]`` (default 3, plus one
+untimed warm-up).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import CPUS, N_SYNTH, StallMonitor, make_spark, materialize_pages
+
+
+def main() -> None:
+    from compress_otel_collector_spark.plans.pipeline import (
+        encode_stage,
+        enrich_stage,
+        expected_roundtrip,
+        parse_stage,
+        roundtrip_check,
+        roundtrip_counts,
+        span_stage,
+    )
+
+    n_runs = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    mon = StallMonitor().start()
+    spark = make_spark(CPUS)
+    pages = spark.read.parquet(materialize_pages(spark, N_SYNTH))
+
+    def gate():
+        spans = span_stage(enrich_stage(parse_stage(pages), spark))
+        encoded = encode_stage(spans, n_salts=8)
+        return roundtrip_counts(
+            roundtrip_check(encoded), expected_roundtrip(spans)
+        ).collect()[0]
+
+    gate()  # untimed warm-up (JIT, Python workers, parquet footers)
+    runs: list[list[float]] = []
+    row = None
+    for _ in range(n_runs):
+        t0 = time.monotonic()
+        row = gate()
+        t1 = time.monotonic()
+        runs.append([round(t1 - t0, 3),
+                     round(mon.stall_between(t0, t1), 3)])
+    walls = [w for w, _ in runs]
+    print(json.dumps({
+        "pages": N_SYNTH,
+        "cores": CPUS,
+        "runs": runs,
+        "median_sec": round(statistics.median(walls), 3),
+        "best_sec": round(min(walls), 3),
+        "best_stall_corrected_sec": round(min(w - s for w, s in runs), 3),
+        "stalls": mon.summary(),
+        "decoded_spans": int(row["decoded_spans"]),
+        "missing": int(row["missing"]),
+        "extra": int(row["extra"]),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
