@@ -102,6 +102,57 @@ def _monitor() -> StallMonitor:
     return _MONITOR
 
 
+_PROBE_BUF = None
+_PROBES: list[float] = []
+
+
+def throttle_probe(reps: int = 3) -> float:
+    """Best-of-``reps`` seconds for a fixed numpy matmul — a direct
+    measurement of host CPU speed at this instant (the matmul is
+    BLAS-threaded, so it samples the whole worker pool's speed, which is
+    exactly what Spark's 32 executor threads experience).
+
+    The r7 roundtrip-gate log exposed a THIRD host regime the
+    StallMonitor cannot see: 8× run-to-run wall dispersion with ZERO
+    heartbeat gaps — sustained throttle of the worker pool, not a
+    freeze. This probe makes that regime attributable per run: each
+    measured run records the probe taken immediately before it starts,
+    so a slow wall with a slow probe is the host, and a slow wall with
+    a floor-level probe is the code. Best-of-reps rejects scheduler
+    noise (we want CPU speed, not run-queue luck); the buffers are
+    module-cached so the ~100×-slow first-touch page cost is paid once,
+    at first call, never inside a comparison. ~10 ms/rep healthy.
+    """
+    import numpy as np
+
+    global _PROBE_BUF
+    if _PROBE_BUF is None:
+        rng = np.random.default_rng(7)
+        _PROBE_BUF = (rng.random((384, 384)), rng.random((384, 384)))
+        np.dot(*_PROBE_BUF)  # warm first-touch pages + BLAS init
+    a, b = _PROBE_BUF
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.monotonic()
+        np.dot(a, b)
+        best = min(best, time.monotonic() - t0)
+    _PROBES.append(best)
+    return best
+
+
+def _probe_summary() -> dict:
+    if not _PROBES:
+        return {"samples": 0}
+    import statistics
+
+    return {
+        "samples": len(_PROBES),
+        "floor_sec": round(min(_PROBES), 4),
+        "median_sec": round(statistics.median(_PROBES), 4),
+        "max_sec": round(max(_PROBES), 4),
+    }
+
+
 def make_spark(cores: int, task_cpus: int = 1,
                shuffle_partitions: int | None = None):
     from pyspark.sql import SparkSession
@@ -250,9 +301,10 @@ def run_headline_queries(spark, sf_dir: str):
     # contiguous stretch of *different* queries once each instead of on
     # the same query every repeat, and the median rejects it — r3's
     # best-of-2-in-place recorded a phantom 3× regression exactly this
-    # way. The raw [wall, stall_sec] runs ride along in the JSON so any
-    # spread is visible AND attributable (stall_sec = heartbeat-measured
-    # full-process freeze time inside that run's window).
+    # way. The raw [wall, stall_sec, probe_sec] runs ride along in the
+    # JSON so any spread is visible AND attributable (stall_sec =
+    # heartbeat-measured full-process freeze time inside that run's
+    # window; probe_sec = host CPU speed just before the run).
     for name in names:
         one(name)
     # throttle sentinel, first reading: the same fixed query is re-timed
@@ -261,15 +313,17 @@ def run_headline_queries(spark, sf_dir: str):
     # is attributable to the documented progressive host throttle instead
     # of masquerading as a code regression
     sentinel_first = one(SENTINEL_QUERY)
-    runs: dict[str, list[tuple[float, float]]] = {name: [] for name in names}
+    runs: dict[str, list[tuple[float, float, float]]] = {
+        name: [] for name in names}
     for _ in range(3):
         for name in names:
             runs[name].append(one(name))
     import statistics
 
-    out = {name: round(statistics.median([w for w, _s in rs]), 3)
+    out = {name: round(statistics.median([r[0] for r in rs]), 3)
            for name, rs in runs.items()}
-    return out, {name: [[round(w, 3), round(s, 3)] for w, s in rs]
+    return out, {name: [[round(w, 3), round(s, 3), round(p, 4)]
+                        for w, s, p in rs]
                  for name, rs in runs.items()}, sentinel_first
 
 
@@ -280,7 +334,7 @@ def _mins(query_runs: dict[str, list]) -> dict[str, float]:
     on 1 of 3 runs can still capture the median, so the JSON carries the
     min alongside: medians are the headline, mins bound what the code
     itself costs when a round's medians look anomalous."""
-    return {name: round(min(w for w, _s in rs), 3)
+    return {name: round(min(r[0] for r in rs), 3)
             for name, rs in query_runs.items()}
 
 
@@ -289,7 +343,7 @@ def _mins_corrected(query_runs: dict[str, list]) -> dict[str, float]:
     run. When every run of a long query eats a stall (r6: all three
     `pipeline_synth` runs did), the plain min still over-reports; this is
     the number to compare across rounds when `stalls.events` > 0."""
-    return {name: round(min(w - s for w, s in rs), 3)
+    return {name: round(min(r[0] - r[1] for r in rs), 3)
             for name, rs in query_runs.items()}
 
 
@@ -297,18 +351,20 @@ def _mins_corrected(query_runs: dict[str, list]) -> dict[str, float]:
 SENTINEL_QUERY = "tpch_q1"
 
 
-def time_query(spark, sf_dir: str, name: str) -> tuple[float, float]:
-    """(wall seconds, stall seconds) of one registered query as a
+def time_query(spark, sf_dir: str, name: str) -> tuple[float, float, float]:
+    """(wall sec, stall sec, probe sec) of one registered query as a
     noop-sink write; stall = heartbeat-measured process freeze time
-    overlapping the run (StallMonitor)."""
+    overlapping the run (StallMonitor), probe = host CPU speed
+    immediately before the run started (throttle_probe)."""
     import __spark_entry__ as entrymod
 
     mon = _monitor()
+    probe = throttle_probe()
     t0 = time.monotonic()
     entrymod.queries()[name](spark, sf_dir).write.format("noop") \
         .mode("overwrite").save()
     t1 = time.monotonic()
-    return t1 - t0, mon.stall_between(t0, t1)
+    return t1 - t0, mon.stall_between(t0, t1), probe
 
 
 def _memory_metrics(spark) -> dict:
@@ -419,7 +475,8 @@ def scaling_runs(n_pages: int, visits: int = 5):
     mems: dict[str, list[dict]] = {label: [] for label in levels}
 
     def one_visit(cores, task_cpus, parts=SCALING_PARTITIONS,
-                  mem_sink: list[dict] | None = None):
+                  mem_sink: list[dict] | None = None,
+                  probe_sink: list[float] | None = None):
         spark = make_spark(cores, task_cpus=task_cpus,
                            shuffle_partitions=parts)
         try:
@@ -428,6 +485,11 @@ def scaling_runs(n_pages: int, visits: int = 5):
             # keeps the 1-slot visits affordable at 4M pages
             run_pipeline_synth(spark, max(n_pages // 4, 1), arms=False,
                                shuffle_partitions=parts)
+            if probe_sink is not None:
+                # host CPU speed at this visit: levels compared under
+                # similar probes = a fair ratio; a probe spike on one
+                # level's visit explains an outlier run without an A/B
+                probe_sink.append(round(throttle_probe(), 4))
             dt, pages, _ = run_pipeline_synth(spark, n_pages, arms=False,
                                               shuffle_partitions=parts)
             if mem_sink is not None:
@@ -436,10 +498,12 @@ def scaling_runs(n_pages: int, visits: int = 5):
         finally:
             spark.stop()
 
+    probes: dict[str, list[float]] = {label: [] for label in levels}
     for _ in range(visits):  # ABAB interleave
         for label, (cores, task_cpus, _slots) in levels.items():
             thr[label].append(one_visit(cores, task_cpus,
-                                        mem_sink=mems[label]))
+                                        mem_sink=mems[label],
+                                        probe_sink=probes[label]))
             time.sleep(1)
 
     results = {}
@@ -452,6 +516,7 @@ def scaling_runs(n_pages: int, visits: int = 5):
             "pages_per_sec": round(med, 1),
             "sec": round(n_pages / med, 2),
             "runs": [round(t, 1) for t in thr[label]],
+            "probes": probes[label],
             "memory": _merge_memory_metrics(mems[label]),
         }
     # saturated headline is PLAIN local[32] — default (data×core-sized)
@@ -761,20 +826,24 @@ def main():
     pipe_runs, arms_runs = [], []
     pages, ratios = 0, None
     for _ in range(n_pipe_runs):
+        probe = throttle_probe()
         t0 = time.monotonic()
         dt, pages, _r = run_pipeline_synth(spark, N_SYNTH, arms=False)
-        pipe_runs.append((dt, mon.stall_between(t0, time.monotonic())))
+        pipe_runs.append((dt, mon.stall_between(t0, time.monotonic()),
+                          probe))
+        probe = throttle_probe()
         t0 = time.monotonic()
         a_dt, _, ratios = run_pipeline_synth(spark, N_SYNTH, arms=True)
-        arms_runs.append((a_dt, mon.stall_between(t0, time.monotonic())))
-    pipe_sec = statistics.median([w for w, _s in pipe_runs])
-    arms_sec = statistics.median([w for w, _s in arms_runs])
+        arms_runs.append((a_dt, mon.stall_between(t0, time.monotonic()),
+                          probe))
+    pipe_sec = statistics.median([r[0] for r in pipe_runs])
+    arms_sec = statistics.median([r[0] for r in arms_runs])
     queries["pipeline_synth"] = round(pipe_sec, 3)
     queries["pipeline_arms"] = round(arms_sec, 3)
-    query_runs["pipeline_synth"] = [[round(w, 3), round(s, 3)]
-                                    for w, s in pipe_runs]
-    query_runs["pipeline_arms"] = [[round(w, 3), round(s, 3)]
-                                   for w, s in arms_runs]
+    query_runs["pipeline_synth"] = [[round(w, 3), round(s, 3), round(p, 4)]
+                                    for w, s, p in pipe_runs]
+    query_runs["pipeline_arms"] = [[round(w, 3), round(s, 3), round(p, 4)]
+                                   for w, s, p in arms_runs]
     # realistic (telemetry-repeats) shape: the codec's home turf — report
     # compression for both shapes, honestly labeled
     _, _, ratios_real = run_pipeline_synth(spark, N_SYNTH, arms=True,
@@ -791,14 +860,22 @@ def main():
         "value": round(sum(queries.values()), 3),
         "unit": "sec",
         "queries": queries,
-        # per-run [wall_sec, stall_sec]: stall_sec is heartbeat-measured
-        # full-process freeze time inside that run (StallMonitor) — a
-        # run with stall_sec ≈ wall − typical-wall was host-frozen, not
-        # slow code
+        # per-run [wall_sec, stall_sec, probe_sec]: stall_sec is
+        # heartbeat-measured full-process freeze time inside that run
+        # (StallMonitor) — a run with stall_sec ≈ wall − typical-wall
+        # was host-frozen, not slow code; probe_sec is the fixed-CPU
+        # probe immediately before the run — a slow wall with probe at
+        # the session floor IS the code, with an inflated probe it's
+        # sustained host throttle
         "query_runs": query_runs,
         "query_mins": _mins(query_runs),
         "query_mins_stall_corrected": _mins_corrected(query_runs),
         "stalls": mon.summary(),
+        # per-run probe_sec (3rd element of each query_runs entry) is
+        # host CPU speed right before that run; this summary gives the
+        # session floor/max so sustained throttle (slow probe, zero
+        # stalls) is distinguishable from freezes AND from slow code
+        "throttle_probe": _probe_summary(),
         "throttle_sentinel": {
             "query": SENTINEL_QUERY,
             "first_sec": round(sentinel_first[0], 3),

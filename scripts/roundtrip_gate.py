@@ -4,8 +4,10 @@
 encode → zstd → decode → 31-field multiset-equality gate over
 ``$SPARK_GRAFT_BENCH_PAGES`` synthetic pages (default 1M) on
 ``local[$SPARK_GRAFT_CPUS]``, timed from the materialized parquet scan.
-Prints ONE JSON line: per-run ``[wall_sec, stall_sec]`` (stall =
-heartbeat-measured full-process freeze time, ``bench.StallMonitor``),
+Prints ONE JSON line: per-run ``[wall_sec, stall_sec, probe_sec]``
+(stall = heartbeat-measured full-process freeze time,
+``bench.StallMonitor``; probe = fixed-CPU host-speed sample taken just
+before the run, ``bench.throttle_probe``),
 median / best / best-stall-corrected, the stall summary, and the gate
 verdict (``missing``/``extra`` must both be 0). BASELINE.md's published
 gate number regenerates from this — never from an ad-hoc session — so it
@@ -25,7 +27,14 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from bench import CPUS, N_SYNTH, StallMonitor, make_spark, materialize_pages
+from bench import (
+    CPUS,
+    N_SYNTH,
+    StallMonitor,
+    make_spark,
+    materialize_pages,
+    throttle_probe,
+)
 
 
 def main() -> None:
@@ -55,19 +64,22 @@ def main() -> None:
     runs: list[list[float]] = []
     row = None
     for _ in range(n_runs):
+        probe = throttle_probe()
         t0 = time.monotonic()
         row = gate()
         t1 = time.monotonic()
         runs.append([round(t1 - t0, 3),
-                     round(mon.stall_between(t0, t1), 3)])
-    walls = [w for w, _ in runs]
+                     round(mon.stall_between(t0, t1), 3),
+                     round(probe, 4)])
+    walls = [r[0] for r in runs]
     print(json.dumps({
         "pages": N_SYNTH,
         "cores": CPUS,
         "runs": runs,
         "median_sec": round(statistics.median(walls), 3),
         "best_sec": round(min(walls), 3),
-        "best_stall_corrected_sec": round(min(w - s for w, s in runs), 3),
+        "best_stall_corrected_sec": round(
+            min(r[0] - r[1] for r in runs), 3),
         "stalls": mon.summary(),
         "decoded_spans": int(row["decoded_spans"]),
         "missing": int(row["missing"]),

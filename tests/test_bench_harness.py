@@ -79,9 +79,37 @@ class TestStallMonitor:
         assert got["stall"] <= got["wall"], got
 
     def test_mins_and_corrected_mins(self):
-        runs = {"q": [[5.0, 0.0], [30.0, 27.5], [6.0, 2.0]]}
+        runs = {"q": [[5.0, 0.0, 0.01], [30.0, 27.5, 0.09],
+                      [6.0, 2.0, 0.01]]}
         assert bench._mins(runs) == {"q": 5.0}
         assert bench._mins_corrected(runs) == {"q": 2.5}
+
+
+class TestThrottleProbe:
+    """Per-run host-CPU-speed probe (r7): the roundtrip-gate log showed a
+    host regime the StallMonitor cannot see — 8× wall dispersion with
+    zero heartbeat gaps (sustained worker-pool throttle). The probe
+    measures CPU speed immediately before each run so that regime is
+    attributable per run in the artifact."""
+
+    def test_probe_returns_and_records(self):
+        before = len(bench._PROBES)
+        p = bench.throttle_probe()
+        assert 0 < p < 30.0  # even a heavily throttled host finishes
+        assert len(bench._PROBES) == before + 1
+        s = bench._probe_summary()
+        assert s["samples"] == len(bench._PROBES)
+        assert s["floor_sec"] <= s["median_sec"] <= s["max_sec"]
+
+    def test_probe_is_fixed_work(self):
+        # best-of-reps of a FIXED workload: two back-to-back warm calls
+        # agree within scheduler noise unless the host state changes
+        # mid-test (allow a generous band; the property under test is
+        # that the workload is deterministic, not the host)
+        a = bench.throttle_probe()
+        b = bench.throttle_probe()
+        assert min(a, b) > 0
+        assert max(a, b) / min(a, b) < 50
 
 
 def _fake_campaign():
