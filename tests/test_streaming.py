@@ -142,3 +142,113 @@ def test_windowed_watermark_aggregation(spark, tmp_path):
     # append emits only windows older than max-event-time - watermark
     assert finalized <= batch
     assert len(finalized) < len(batch)
+
+
+#: event-time base well past the epoch — a row at EXACTLY the initial
+#: watermark (epoch 0) is filtered as late by the stateful operator,
+#: which silently breaks a ts_sec=0 fixture
+_TS_BASE = 1_700_000_000
+
+
+def _write_dedup_file(path, rows):
+    """One parquet file of (doc_id, text, ts_sec) — written via pyarrow so
+    each call is exactly one file (the file source batches per file with
+    maxFilesPerTrigger=1)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "ts_sec": pa.array([_TS_BASE + r[2] for r in rows],
+                               pa.int64()),
+        }),
+        path,
+    )
+
+
+def _dedup_stream_drain(spark, in_dir, name, horizon):
+    from compress_otel_collector_spark.streaming.stream import (
+        dedup_pages_stream,
+    )
+
+    src = (
+        spark.readStream
+        .schema("doc_id long, text string, ts_sec long")
+        .option("maxFilesPerTrigger", 1).parquet(str(in_dir))
+        .withColumn("warc_ts", F.timestamp_seconds(F.col("ts_sec")))
+    )
+    q = (
+        dedup_pages_stream(src, horizon=horizon)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"SELECT doc_id, text FROM {name}").collect()
+
+
+def test_dedup_stream_cross_batch_within_horizon(spark, tmp_path):
+    """Ingestion dedup: a duplicate arriving in a LATER micro-batch within
+    the event-time horizon is dropped (per-batch dropDuplicates cannot do
+    this), and the drained stream equals batch dropDuplicates over the
+    union — the stream ≡ batch gate."""
+    import time as _time
+
+    in_dir = tmp_path / "dd_in"
+    in_dir.mkdir()
+    # batch 1: alpha, beta, alpha (in-batch dup); batch 2: alpha again
+    # (cross-batch dup, 5 min later — inside the 1 h horizon) + gamma
+    _write_dedup_file(in_dir / "f1.parquet",
+                      [(1, "alpha", 0), (2, "beta", 60),
+                       (3, "alpha", 120)])
+    _time.sleep(1.1)  # strictly increasing mtimes → file order = batch order
+    _write_dedup_file(in_dir / "f2.parquet",
+                      [(4, "alpha", 300), (5, "gamma", 360)])
+
+    got = _dedup_stream_drain(spark, in_dir, "dedup_within", "1 hour")
+    texts = sorted(r["text"] for r in got)
+    assert texts == ["alpha", "beta", "gamma"]
+    # the kept alpha is a batch-1 arrival, NOT the batch-2 re-delivery
+    alpha_id = next(r["doc_id"] for r in got if r["text"] == "alpha")
+    assert alpha_id in (1, 3)
+    # stream ≡ batch when every duplicate falls within the horizon
+    batch_texts = sorted(
+        r["text"] for r in spark.read.parquet(str(in_dir))
+        .dropDuplicates(["text"]).collect())
+    assert texts == batch_texts
+
+
+def test_dedup_stream_reemits_beyond_horizon(spark, tmp_path):
+    """The bounded-state trade, pinned: once the watermark passes a key's
+    event time its state entry is evicted, and a duplicate arriving AFTER
+    that re-emits. This is what keeps the state store at ingest-rate ×
+    horizon instead of stream-lifetime size; exactness beyond the horizon
+    belongs to the batch compaction pass.
+
+    Watermark mechanics the fixture must respect: the watermark advances
+    BETWEEN batches (batch N runs under max-event-time-through-N−1 −
+    delay) and state eviction runs at batch END — so alpha's entry
+    (event 0, horizon 10 min) survives batch f2 (still under the f1
+    watermark), is evicted at the end of batch f3 (under watermark
+    3600−600 = 3000 > 0), and only the batch-f4 re-arrival emits; the
+    f3 re-arrival is still deduplicated against the not-yet-evicted
+    entry. Both arrivals ride along to pin exactly that boundary."""
+    import time as _time
+
+    in_dir = tmp_path / "dd_evict"
+    in_dir.mkdir()
+    _write_dedup_file(in_dir / "f1.parquet", [(1, "alpha", 0)])
+    _time.sleep(1.1)
+    # advances the watermark (from f3 on) to 3600 − 600 = 3000 s > 0
+    _write_dedup_file(in_dir / "f2.parquet", [(4, "delta", 3600)])
+    _time.sleep(1.1)
+    # dropped: alpha's entry is evicted at this batch's END, after dedup
+    _write_dedup_file(in_dir / "f3.parquet", [(5, "alpha", 3660)])
+    _time.sleep(1.1)
+    # re-emitted: state no longer holds alpha
+    _write_dedup_file(in_dir / "f4.parquet", [(7, "alpha", 3720)])
+
+    got = _dedup_stream_drain(spark, in_dir, "dedup_evict", "10 minutes")
+    by_text = sorted((r["text"], r["doc_id"]) for r in got)
+    assert by_text == [("alpha", 1), ("alpha", 7), ("delta", 4)]
