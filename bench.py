@@ -153,6 +153,49 @@ def _probe_summary() -> dict:
     }
 
 
+def host_cpu_sample() -> dict | None:
+    """Cumulative host CPU seconds by category from ``/proc/stat``
+    (user+nice+sys → busy; idle; iowait; steal). None off-Linux.
+
+    Steal is THE smoking gun this sandbox needed: the r7b gate run
+    showed floor-level pre-run probes yet 45–115 s walls — an
+    instantaneous probe can't see throttle that only bites under
+    SUSTAINED load. A /proc/stat delta over the run window can: this
+    host measurably loses cycles to the hypervisor under load
+    (steal_frac 0.09 under a 3 s 32-core matmul on a "healthy" reading,
+    far higher in degraded states), and a slow run with high
+    ``steal_frac`` is the host, with low steal + low busy it's
+    scheduling starvation, and with full busy + no steal it's the code.
+    """
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        v = [int(x) for x in parts[1:9]]
+        hz = 100.0  # USER_HZ; fixed on every Linux ABI
+        return {
+            "busy": (v[0] + v[1] + v[2]) / hz,
+            "idle": v[3] / hz,
+            "iowait": v[4] / hz,
+            "steal": v[7] / hz,
+        }
+    except (OSError, ValueError, IndexError):  # pragma: no cover
+        return None
+
+
+def cpu_window(c0: dict | None, c1: dict | None, wall: float) -> dict:
+    """Host CPU fractions over a measured run's window: what share of
+    the host's ``wall × ncpu`` cycle budget was spent busy vs stolen.
+    Empty dict when /proc/stat is unavailable or the wall is degenerate.
+    """
+    if not c0 or not c1 or wall <= 0:
+        return {}
+    budget = wall * (os.cpu_count() or 1)
+    return {
+        "busy": round((c1["busy"] - c0["busy"]) / budget, 3),
+        "steal": round((c1["steal"] - c0["steal"]) / budget, 3),
+    }
+
+
 def make_spark(cores: int, task_cpus: int = 1,
                shuffle_partitions: int | None = None):
     from pyspark.sql import SparkSession
@@ -301,10 +344,9 @@ def run_headline_queries(spark, sf_dir: str):
     # contiguous stretch of *different* queries once each instead of on
     # the same query every repeat, and the median rejects it — r3's
     # best-of-2-in-place recorded a phantom 3× regression exactly this
-    # way. The raw [wall, stall_sec, probe_sec] runs ride along in the
-    # JSON so any spread is visible AND attributable (stall_sec =
-    # heartbeat-measured full-process freeze time inside that run's
-    # window; probe_sec = host CPU speed just before the run).
+    # way. The raw per-run attribution dicts {wall, stall, probe, busy,
+    # steal} ride along in the JSON so any spread is visible AND
+    # attributable (see the query_runs comment in main()).
     for name in names:
         one(name)
     # throttle sentinel, first reading: the same fixed query is re-timed
@@ -313,18 +355,15 @@ def run_headline_queries(spark, sf_dir: str):
     # is attributable to the documented progressive host throttle instead
     # of masquerading as a code regression
     sentinel_first = one(SENTINEL_QUERY)
-    runs: dict[str, list[tuple[float, float, float]]] = {
-        name: [] for name in names}
+    runs: dict[str, list[dict]] = {name: [] for name in names}
     for _ in range(3):
         for name in names:
             runs[name].append(one(name))
     import statistics
 
-    out = {name: round(statistics.median([r[0] for r in rs]), 3)
+    out = {name: round(statistics.median([r["wall"] for r in rs]), 3)
            for name, rs in runs.items()}
-    return out, {name: [[round(w, 3), round(s, 3), round(p, 4)]
-                        for w, s, p in rs]
-                 for name, rs in runs.items()}, sentinel_first
+    return out, runs, sentinel_first
 
 
 def _mins(query_runs: dict[str, list]) -> dict[str, float]:
@@ -334,7 +373,7 @@ def _mins(query_runs: dict[str, list]) -> dict[str, float]:
     on 1 of 3 runs can still capture the median, so the JSON carries the
     min alongside: medians are the headline, mins bound what the code
     itself costs when a round's medians look anomalous."""
-    return {name: round(min(r[0] for r in rs), 3)
+    return {name: round(min(r["wall"] for r in rs), 3)
             for name, rs in query_runs.items()}
 
 
@@ -343,7 +382,7 @@ def _mins_corrected(query_runs: dict[str, list]) -> dict[str, float]:
     run. When every run of a long query eats a stall (r6: all three
     `pipeline_synth` runs did), the plain min still over-reports; this is
     the number to compare across rounds when `stalls.events` > 0."""
-    return {name: round(min(r[0] - r[1] for r in rs), 3)
+    return {name: round(min(r["wall"] - r["stall"] for r in rs), 3)
             for name, rs in query_runs.items()}
 
 
@@ -351,20 +390,28 @@ def _mins_corrected(query_runs: dict[str, list]) -> dict[str, float]:
 SENTINEL_QUERY = "tpch_q1"
 
 
-def time_query(spark, sf_dir: str, name: str) -> tuple[float, float, float]:
-    """(wall sec, stall sec, probe sec) of one registered query as a
-    noop-sink write; stall = heartbeat-measured process freeze time
-    overlapping the run (StallMonitor), probe = host CPU speed
-    immediately before the run started (throttle_probe)."""
+def time_query(spark, sf_dir: str, name: str) -> dict:
+    """One measured run of a registered query (noop-sink write) with its
+    full attribution record: ``wall`` sec; ``stall`` = heartbeat-measured
+    process freeze time overlapping the run (StallMonitor); ``probe`` =
+    host CPU speed immediately before the run (throttle_probe); ``busy``
+    / ``steal`` = the host's CPU-budget fractions spent working vs
+    stolen by the hypervisor DURING the run (/proc/stat delta)."""
     import __spark_entry__ as entrymod
 
     mon = _monitor()
     probe = throttle_probe()
+    c0 = host_cpu_sample()
     t0 = time.monotonic()
     entrymod.queries()[name](spark, sf_dir).write.format("noop") \
         .mode("overwrite").save()
     t1 = time.monotonic()
-    return t1 - t0, mon.stall_between(t0, t1), probe
+    wall = t1 - t0
+    rec = {"wall": round(wall, 3),
+           "stall": round(mon.stall_between(t0, t1), 3),
+           "probe": round(probe, 4)}
+    rec.update(cpu_window(c0, host_cpu_sample(), wall))
+    return rec
 
 
 def _memory_metrics(spark) -> dict:
@@ -822,28 +869,32 @@ def main():
     # run of a 3-run long query is exactly how r6's official record
     # published a garbage headline; more samples + per-run stall_sec make
     # the record self-attributing.
-    n_pipe_runs = 6 if sentinel_first[0] > 0.7 else 3
+    n_pipe_runs = 6 if sentinel_first["wall"] > 0.7 else 3
+
+    def _timed_pipeline(**kw):
+        probe = throttle_probe()
+        c0 = host_cpu_sample()
+        t0 = time.monotonic()
+        dt, n_pages, r = run_pipeline_synth(spark, N_SYNTH, **kw)
+        rec = {"wall": round(dt, 3),
+               "stall": round(mon.stall_between(t0, time.monotonic()), 3),
+               "probe": round(probe, 4)}
+        rec.update(cpu_window(c0, host_cpu_sample(), dt))
+        return rec, n_pages, r
+
     pipe_runs, arms_runs = [], []
     pages, ratios = 0, None
     for _ in range(n_pipe_runs):
-        probe = throttle_probe()
-        t0 = time.monotonic()
-        dt, pages, _r = run_pipeline_synth(spark, N_SYNTH, arms=False)
-        pipe_runs.append((dt, mon.stall_between(t0, time.monotonic()),
-                          probe))
-        probe = throttle_probe()
-        t0 = time.monotonic()
-        a_dt, _, ratios = run_pipeline_synth(spark, N_SYNTH, arms=True)
-        arms_runs.append((a_dt, mon.stall_between(t0, time.monotonic()),
-                          probe))
-    pipe_sec = statistics.median([r[0] for r in pipe_runs])
-    arms_sec = statistics.median([r[0] for r in arms_runs])
+        rec, pages, _r = _timed_pipeline(arms=False)
+        pipe_runs.append(rec)
+        rec, _, ratios = _timed_pipeline(arms=True)
+        arms_runs.append(rec)
+    pipe_sec = statistics.median([r["wall"] for r in pipe_runs])
+    arms_sec = statistics.median([r["wall"] for r in arms_runs])
     queries["pipeline_synth"] = round(pipe_sec, 3)
     queries["pipeline_arms"] = round(arms_sec, 3)
-    query_runs["pipeline_synth"] = [[round(w, 3), round(s, 3), round(p, 4)]
-                                    for w, s, p in pipe_runs]
-    query_runs["pipeline_arms"] = [[round(w, 3), round(s, 3), round(p, 4)]
-                                   for w, s, p in arms_runs]
+    query_runs["pipeline_synth"] = pipe_runs
+    query_runs["pipeline_arms"] = arms_runs
     # realistic (telemetry-repeats) shape: the codec's home turf — report
     # compression for both shapes, honestly labeled
     _, _, ratios_real = run_pipeline_synth(spark, N_SYNTH, arms=True,
@@ -860,27 +911,29 @@ def main():
         "value": round(sum(queries.values()), 3),
         "unit": "sec",
         "queries": queries,
-        # per-run [wall_sec, stall_sec, probe_sec]: stall_sec is
-        # heartbeat-measured full-process freeze time inside that run
-        # (StallMonitor) — a run with stall_sec ≈ wall − typical-wall
-        # was host-frozen, not slow code; probe_sec is the fixed-CPU
-        # probe immediately before the run — a slow wall with probe at
-        # the session floor IS the code, with an inflated probe it's
-        # sustained host throttle
+        # per-run attribution dicts {wall, stall, probe, busy, steal}:
+        # stall = heartbeat-measured full-process freeze sec inside the
+        # run (StallMonitor); probe = fixed-CPU host-speed sec just
+        # before it; busy/steal = the host's CPU-budget fractions spent
+        # working vs hypervisor-stolen DURING it (/proc/stat delta).
+        # Reading a slow run: stall ≈ excess → freeze; steal high →
+        # hypervisor throttle; busy low with steal low → starvation;
+        # full busy, no steal, floor probe → the code regressed.
         "query_runs": query_runs,
         "query_mins": _mins(query_runs),
         "query_mins_stall_corrected": _mins_corrected(query_runs),
         "stalls": mon.summary(),
-        # per-run probe_sec (3rd element of each query_runs entry) is
-        # host CPU speed right before that run; this summary gives the
-        # session floor/max so sustained throttle (slow probe, zero
-        # stalls) is distinguishable from freezes AND from slow code
+        # session floor/max of the pre-run probes: a point sample only —
+        # the r7b gate showed floor probes with 4x walls because the
+        # throttle bites under SUSTAINED load; the per-run busy/steal
+        # fractions are the load-state instrument
         "throttle_probe": _probe_summary(),
         "throttle_sentinel": {
             "query": SENTINEL_QUERY,
-            "first_sec": round(sentinel_first[0], 3),
-            "last_sec": round(sentinel_last[0], 3),
-            "ratio": round(sentinel_last[0] / sentinel_first[0], 3),
+            "first_sec": sentinel_first["wall"],
+            "last_sec": sentinel_last["wall"],
+            "ratio": round(sentinel_last["wall"] / sentinel_first["wall"],
+                           3),
             "long_query_runs": n_pipe_runs,
         },
         "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],

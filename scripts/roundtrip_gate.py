@@ -4,10 +4,11 @@
 encode → zstd → decode → 31-field multiset-equality gate over
 ``$SPARK_GRAFT_BENCH_PAGES`` synthetic pages (default 1M) on
 ``local[$SPARK_GRAFT_CPUS]``, timed from the materialized parquet scan.
-Prints ONE JSON line: per-run ``[wall_sec, stall_sec, probe_sec]``
-(stall = heartbeat-measured full-process freeze time,
-``bench.StallMonitor``; probe = fixed-CPU host-speed sample taken just
-before the run, ``bench.throttle_probe``),
+Prints ONE JSON line: per-run attribution dicts ``{wall, stall, probe,
+busy, steal}`` (stall = heartbeat-measured full-process freeze time,
+``bench.StallMonitor``; probe = fixed-CPU host-speed sample just before
+the run; busy/steal = the host's CPU-budget fractions spent working vs
+hypervisor-stolen during the run, ``bench.cpu_window``),
 median / best / best-stall-corrected, the stall summary, and the gate
 verdict (``missing``/``extra`` must both be 0). BASELINE.md's published
 gate number regenerates from this — never from an ad-hoc session — so it
@@ -31,6 +32,8 @@ from bench import (
     CPUS,
     N_SYNTH,
     StallMonitor,
+    cpu_window,
+    host_cpu_sample,
     make_spark,
     materialize_pages,
     throttle_probe,
@@ -61,17 +64,20 @@ def main() -> None:
         ).collect()[0]
 
     gate()  # untimed warm-up (JIT, Python workers, parquet footers)
-    runs: list[list[float]] = []
+    runs: list[dict] = []
     row = None
     for _ in range(n_runs):
         probe = throttle_probe()
+        c0 = host_cpu_sample()
         t0 = time.monotonic()
         row = gate()
         t1 = time.monotonic()
-        runs.append([round(t1 - t0, 3),
-                     round(mon.stall_between(t0, t1), 3),
-                     round(probe, 4)])
-    walls = [r[0] for r in runs]
+        rec = {"wall": round(t1 - t0, 3),
+               "stall": round(mon.stall_between(t0, t1), 3),
+               "probe": round(probe, 4)}
+        rec.update(cpu_window(c0, host_cpu_sample(), t1 - t0))
+        runs.append(rec)
+    walls = [r["wall"] for r in runs]
     print(json.dumps({
         "pages": N_SYNTH,
         "cores": CPUS,
@@ -79,7 +85,7 @@ def main() -> None:
         "median_sec": round(statistics.median(walls), 3),
         "best_sec": round(min(walls), 3),
         "best_stall_corrected_sec": round(
-            min(r[0] - r[1] for r in runs), 3),
+            min(r["wall"] - r["stall"] for r in runs), 3),
         "stalls": mon.summary(),
         "decoded_spans": int(row["decoded_spans"]),
         "missing": int(row["missing"]),

@@ -79,8 +79,9 @@ class TestStallMonitor:
         assert got["stall"] <= got["wall"], got
 
     def test_mins_and_corrected_mins(self):
-        runs = {"q": [[5.0, 0.0, 0.01], [30.0, 27.5, 0.09],
-                      [6.0, 2.0, 0.01]]}
+        runs = {"q": [{"wall": 5.0, "stall": 0.0, "probe": 0.01},
+                      {"wall": 30.0, "stall": 27.5, "probe": 0.09},
+                      {"wall": 6.0, "stall": 2.0, "probe": 0.01}]}
         assert bench._mins(runs) == {"q": 5.0}
         assert bench._mins_corrected(runs) == {"q": 2.5}
 
@@ -110,6 +111,45 @@ class TestThrottleProbe:
         b = bench.throttle_probe()
         assert min(a, b) > 0
         assert max(a, b) / min(a, b) < 50
+
+
+class TestHostCPU:
+    """Per-run host CPU accounting (r7): the probe is a point sample and
+    the r7b gate run proved that insufficient (floor probes, 4× walls —
+    throttle that only bites under sustained load). /proc/stat deltas
+    over the run window measure busy vs hypervisor-stolen fractions
+    directly."""
+
+    def test_sample_is_cumulative_and_monotonic(self):
+        import time as _time
+
+        s0 = bench.host_cpu_sample()
+        assert s0 is not None  # Linux sandbox
+        assert set(s0) == {"busy", "idle", "iowait", "steal"}
+        _time.sleep(0.2)
+        s1 = bench.host_cpu_sample()
+        assert all(s1[k] >= s0[k] for k in s0)
+        # 0.2 s on a 32-way host advances SOME category by ~0.2×ncpu
+        assert sum(s1[k] - s0[k] for k in s0) > 0.1
+
+    def test_cpu_window_busy_loop_attributes_to_busy(self):
+        import time as _time
+
+        c0 = bench.host_cpu_sample()
+        t0 = _time.monotonic()
+        x = 0
+        while _time.monotonic() - t0 < 0.4:
+            x += 1  # one pinned-busy core
+        wall = _time.monotonic() - t0
+        w = bench.cpu_window(c0, bench.host_cpu_sample(), wall)
+        assert 0 <= w["steal"] <= 1.0
+        # at least this test's own core was busy the whole window
+        assert w["busy"] >= 0.5 / (__import__("os").cpu_count() or 1)
+
+    def test_cpu_window_degenerate_inputs(self):
+        assert bench.cpu_window(None, {"busy": 1}, 1.0) == {}
+        assert bench.cpu_window({"busy": 1}, None, 1.0) == {}
+        assert bench.cpu_window({"busy": 1}, {"busy": 2}, 0.0) == {}
 
 
 def _fake_campaign():
