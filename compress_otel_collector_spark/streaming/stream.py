@@ -75,6 +75,7 @@ def run_streaming_pipeline(
     n_buckets: int = 8,
     n_salts: int = 4,
     arms: bool = False,
+    dedup_horizon: str | None = None,
 ):
     """Drain the input with availableNow; resumable via checkpoint.
 
@@ -82,6 +83,13 @@ def run_streaming_pipeline(
     idempotently (see ``route_stream_batch``) — rerunning after a crash
     replays only unprocessed files, and a replayed batch overwrites rather
     than duplicates. Returns the terminated StreamingQuery.
+
+    ``dedup_horizon`` (e.g. ``"1 hour"``) inserts the
+    :func:`dedup_pages_stream` stage before the encode chain: crawler
+    re-deliveries of the same text within the event-time horizon are
+    dropped ACROSS micro-batches, with the dedup state store riding the
+    same checkpoint as the file-source offsets — a resumed job neither
+    re-emits already-kept pages nor forgets which texts it saw.
     """
     # same bucket-layout guard as the batch path: resuming a sink with a
     # different n_buckets would silently split routes across two bucketings
@@ -99,6 +107,9 @@ def run_streaming_pipeline(
         _write_meta(spark, meta_path, {"n_buckets": n_buckets})
 
     stream = pages_stream(spark, input_dir)
+    if dedup_horizon is not None:
+        stream = dedup_pages_stream(stream, horizon=dedup_horizon) \
+            .drop("text_hash")
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():

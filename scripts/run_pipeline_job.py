@@ -51,8 +51,17 @@ def main() -> None:
     ap.add_argument("--streaming", action="store_true")
     ap.add_argument("--checkpoint", default=None,
                     help="checkpoint dir (required with --streaming)")
+    ap.add_argument("--dedup-horizon", default=None, metavar="INTERVAL",
+                    help="streaming only: drop re-delivered duplicate "
+                         "texts across micro-batches within this "
+                         "event-time horizon (e.g. '1 hour'); state is "
+                         "bounded by ingest-rate × horizon and rides "
+                         "the checkpoint")
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     args = ap.parse_args()
+    if args.dedup_horizon and not args.streaming:
+        ap.error("--dedup-horizon requires --streaming (batch dedup is "
+                 "operators.dedup.dedup_keep_first, a separate pass)")
 
     from pyspark.sql import SparkSession
 
@@ -82,7 +91,8 @@ def main() -> None:
 
         run_streaming_pipeline(
             spark, args.input, args.output, args.checkpoint,
-            n_buckets=args.buckets, n_salts=args.salts, arms=args.arms)
+            n_buckets=args.buckets, n_salts=args.salts, arms=args.arms,
+            dedup_horizon=args.dedup_horizon)
         from compress_otel_collector_spark.plans.pipeline import (
             aggregate_stage,
             read_routed,

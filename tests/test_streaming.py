@@ -252,3 +252,44 @@ def test_dedup_stream_reemits_beyond_horizon(spark, tmp_path):
     got = _dedup_stream_drain(spark, in_dir, "dedup_evict", "10 minutes")
     by_text = sorted((r["text"], r["doc_id"]) for r in got)
     assert by_text == [("alpha", 1), ("alpha", 7), ("delta", 4)]
+
+
+def test_streaming_pipeline_with_ingestion_dedup(spark, tmp_path):
+    """The composed surface (r7): dedup_pages_stream as a pipeline stage
+    (run_streaming_pipeline(dedup_horizon=...)) — a re-delivered crawl
+    (same text + warc_ts, new doc_id) within the horizon encodes ZERO
+    extra spans, the dedup state rides the same checkpoint as the source
+    offsets (a resumed drain stays at the deduped count), and the
+    no-dedup run over identical input doubles."""
+    input_dir = str(tmp_path / "ddp_in")
+    pages = synthetic_pages(spark, 100, partitions=1)
+    pages.write.parquet(input_dir)
+    # re-delivery: same text/warc_ts/url, different doc_id
+    spark.read.parquet(input_dir).withColumn(
+        "doc_id", F.col("doc_id") + 1000
+    ).coalesce(1).write.mode("append").parquet(input_dir)
+
+    out_d = str(tmp_path / "out_dedup")
+    ckpt_d = str(tmp_path / "ckpt_dedup")
+    # horizon far beyond the fixture's warc_ts spread so no state is
+    # evicted mid-drain; boundedness itself is pinned in the unit tests
+    run_streaming_pipeline(spark, input_dir, out_d, ckpt_d,
+                           dedup_horizon="90 days")
+    deduped = read_routed(spark, out_d).agg(
+        F.sum("n_spans")).collect()[0][0]
+    # ~5% of synthetic texts are empty and identical → they dedup too
+    distinct_texts = spark.read.parquet(input_dir) \
+        .select("text").distinct().count()
+    assert deduped == distinct_texts < 100 + 1
+
+    # resume: nothing reprocessed, count unchanged
+    run_streaming_pipeline(spark, input_dir, out_d, ckpt_d,
+                           dedup_horizon="90 days")
+    assert read_routed(spark, out_d).agg(
+        F.sum("n_spans")).collect()[0][0] == deduped
+
+    out_p = str(tmp_path / "out_plain")
+    run_streaming_pipeline(spark, input_dir, out_p,
+                           str(tmp_path / "ckpt_plain"))
+    assert read_routed(spark, out_p).agg(
+        F.sum("n_spans")).collect()[0][0] == 200
