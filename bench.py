@@ -386,6 +386,21 @@ def _mins_corrected(query_runs: dict[str, list]) -> dict[str, float]:
             for name, rs in query_runs.items()}
 
 
+def _cpu_secs(query_runs: dict[str, list]) -> dict[str, float]:
+    """Per-query min of host busy-CPU-seconds (wall × ncpu × busy):
+    what the work actually COST in cycles, minus hypervisor steal and
+    idle — the cross-round comparable when walls are host-state-bound.
+    Queries whose runs carry no busy fraction (/proc/stat unavailable)
+    are omitted."""
+    ncpu = os.cpu_count() or 1
+    out = {}
+    for name, rs in query_runs.items():
+        vals = [r["wall"] * ncpu * r["busy"] for r in rs if "busy" in r]
+        if vals:
+            out[name] = round(min(vals), 1)
+    return out
+
+
 #: the fixed query re-timed at bench start and end (throttle sentinel)
 SENTINEL_QUERY = "tpch_q1"
 
@@ -922,6 +937,12 @@ def main():
         "query_runs": query_runs,
         "query_mins": _mins(query_runs),
         "query_mins_stall_corrected": _mins_corrected(query_runs),
+        # min host busy-CPU-seconds per query (wall × ncpu × busy_frac):
+        # the most throttle-robust cross-round number in this artifact —
+        # invariant to steal (excluded from busy) and to idle waiting;
+        # still inflated by frequency-level throttle, so compare against
+        # the same query's best-ever alongside query_mins
+        "query_cpu_secs": _cpu_secs(query_runs),
         "stalls": mon.summary(),
         # session floor/max of the pre-run probes: a point sample only —
         # the r7b gate showed floor probes with 4x walls because the

@@ -85,6 +85,21 @@ class TestStallMonitor:
         assert bench._mins(runs) == {"q": 5.0}
         assert bench._mins_corrected(runs) == {"q": 2.5}
 
+    def test_cpu_secs(self):
+        import os as _os
+
+        ncpu = _os.cpu_count() or 1
+        runs = {"q": [{"wall": 10.0, "stall": 0.0, "probe": 0.01,
+                       "busy": 0.5, "steal": 0.2},
+                      {"wall": 40.0, "stall": 0.0, "probe": 0.09,
+                       "busy": 0.4, "steal": 0.5}],
+                "noproc": [{"wall": 1.0, "stall": 0.0, "probe": 0.01}]}
+        got = bench._cpu_secs(runs)
+        # min busy-CPU-seconds, NOT min wall: the 10 s run costs
+        # 10×ncpu×0.5, the throttled 40 s run 40×ncpu×0.4 — the clean
+        # run wins even though a steal-heavy wall is 4× longer
+        assert got == {"q": round(10.0 * ncpu * 0.5, 1)}
+
 
 class TestThrottleProbe:
     """Per-run host-CPU-speed probe (r7): the roundtrip-gate log showed a
