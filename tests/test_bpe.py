@@ -167,6 +167,40 @@ class TestMergesFile:
         assert bpe.get_tokenizer(None) is bpe._DEFAULT_TOK
         assert bpe.bpe_count("the fox") == bpe._DEFAULT_TOK.count("the fox")
 
+    def test_parse_inverts_serialization_property(self):
+        """parse_merges_text must invert the vocab.bpe serialization for
+        ANY valid merge table, not just the fixture: serialize random
+        well-formed tables (each pair over base bytes or earlier merge
+        results — the format's invariant) through the published visible
+        alphabet and require the parsed integer pairs to match exactly.
+        """
+        visible = bpe._bytes_to_unicode()
+
+        def sym(ids, tok_id):
+            # token id → visible-alphabet symbol string
+            return "".join(visible[b] for b in ids[tok_id])
+
+        @settings(max_examples=100, deadline=None)
+        @given(st.data())
+        def prop(data):
+            n = data.draw(st.integers(min_value=0, max_value=12))
+            ids = {i: bytes([i]) for i in range(256)}
+            merges = []
+            for k in range(n):
+                a = data.draw(st.sampled_from(sorted(ids)), label=f"a{k}")
+                b = data.draw(st.sampled_from(sorted(ids)), label=f"b{k}")
+                merged = ids[a] + ids[b]
+                # duplicate-producing lines keep the FIRST rank; skip
+                # rather than model that here (covered by the fixture)
+                if any(v == merged for v in ids.values()):
+                    continue
+                merges.append((a, b))
+                ids[256 + len(merges) - 1] = merged
+            text = "#version: 0.2\n" + "".join(
+                f"{sym(ids, a)} {sym(ids, b)}\n" for a, b in merges)
+            assert bpe.parse_merges_text(text) == merges
+        prop()
+
 
 class TestMergesKnobSpark:
     def test_counts_and_packing_use_the_file_vocab(self, spark):
