@@ -775,7 +775,12 @@ of seconds at random points (observed r6: same query 0.9 s / 27.4 s /
 1.6 s within one bench) — that regime is invisible to the sentinel
 ratio, so the JSON carries `query_mins` (best-of-runs per query, the
 stall-free floor) next to the medians: when a round's medians look
-anomalous against the sentinel, read the mins.
+anomalous against the sentinel, read the mins. Since r7 every run also
+carries its own attribution dict `{{wall, stall, probe, busy, steal}}`
+and the JSON adds `query_cpu_secs` (min busy-CPU-seconds — invariant
+to hypervisor steal and idle, the throttle-robust cross-round
+comparable); the full decision table is in the standing annotations
+below.
 
 ## Compression arms (reference parity: trace.go:40-181)
 
