@@ -25,6 +25,7 @@ what licenses per-partition dictionaries with no global shuffle at 100 TB.
 
 from __future__ import annotations
 
+import operator as _operator
 from dataclasses import dataclass, field
 from typing import Optional
 
@@ -109,7 +110,23 @@ class _Pools:
                 return codes.astype(np.int64, copy=False)
             keys = arr
         else:
-            keys = [None if v is None else freeze(v) for v in arr]
+            # id()-keyed freeze memo: pipeline event/link cells share a
+            # handful of attribute dict OBJECTS across all rows of a batch
+            # (plans/pipeline builds one dict per shape), so structural
+            # freezing per row re-walked the same dict tens of thousands
+            # of times per blob. Safe within this call: every value in
+            # ``arr`` stays referenced (ids stable) and is never mutated.
+            memo: dict[int, object] = {}
+            keys = []
+            for v in arr:
+                if v is None:
+                    keys.append(None)
+                    continue
+                k = memo.get(id(v))
+                if k is None:
+                    k = freeze(v)
+                    memo[id(v)] = k
+                keys.append(k)
         codes = np.empty(len(arr), dtype=np.int64)
         for i, k in enumerate(keys):
             if k is None:
@@ -141,7 +158,7 @@ class _Pools:
                 return
             # oversized payloads (very long strings): per-entry pieces
             len_pieces = _varint_pieces(
-                np.fromiter((len(r) for r in raws), np.int64, len(raws)))
+                np.fromiter(map(len, raws), np.int64, len(raws)))
             entries.extend(lp + r for lp, r in zip(len_pieces, raws))
             return
         sizes_before = {pid: len(p) for pid, p in self.state.pools.items()}
@@ -180,10 +197,19 @@ def _factorize_exact(values) -> tuple[np.ndarray, list]:
         # all-str fast scan: one C join + one memchr. filter(None) drops
         # None and '' (neither can carry a NUL); the '\x01' separator is
         # NUL-free so it cannot fabricate a hit. Any non-str survivor
-        # (bytes etc.) raises TypeError → the per-value scan below.
+        # (bytes etc.) raises TypeError → the type-inference check below.
         has_nul = "\x00" in "\x01".join(filter(None, lst))
     except TypeError:
-        has_nul = any(type(v) is str and "\x00" in v for v in lst)
+        # a non-str value exists. The NUL hazard is str-only (pandas'
+        # string hashtable truncates at NUL; its OBJECT hashtable — used
+        # for bytes — hashes full contents, see the bytes/tuple note in
+        # CLAUDE.md), so an all-bytes column needs no scan at all. One
+        # C-speed infer_dtype call replaces the former per-value Python
+        # scan that cost a full pass over every trace_id/span_id column.
+        if pd.api.types.infer_dtype(vals, skipna=True) == "bytes":
+            has_nul = False
+        else:
+            has_nul = any(type(v) is str and "\x00" in v for v in lst)
     if not has_nul:
         codes, uniques = pd.factorize(vals)
         return codes, list(uniques)
@@ -247,7 +273,7 @@ def _len_prefixed_blob(raws: list[bytes]) -> Optional[bytes]:
     near-cap entry would otherwise allocate multi-GB transients) — caller
     falls back to per-entry pieces."""
     m = len(raws)
-    plens = np.fromiter((len(r) for r in raws), np.int64, m)
+    plens = np.fromiter(map(len, raws), np.int64, m)
     w = int(plens.max()) if m else 0
     if w > _MAX_PAYLOAD_PAD:
         return None
@@ -275,7 +301,8 @@ def _null_mask_text(col) -> np.ndarray:
     False and 0.0 don't), hence the separate general `_null_mask`.
     """
     n = len(col)
-    return np.fromiter((not v for v in col), dtype=bool, count=n)
+    return np.fromiter(map(_operator.not_, col), dtype=bool,
+                       count=n)
 
 
 def _int_null_mask(col: np.ndarray) -> np.ndarray:
@@ -320,10 +347,10 @@ def _nullable_vcell_matrix(values: np.ndarray,
                            null_mask: np.ndarray
                            ) -> tuple[np.ndarray, np.ndarray]:
     """Nullable varint cell as a padded matrix: col0 = presence flag,
-    cols 1..9 = varint bytes; length 1 when null else 1+varint length."""
+    cols 1..w = varint bytes; length 1 when null else 1+varint length."""
     vm, vl = encode_sleb128_matrix(values)
     n = len(vl)
-    out = np.empty((n, 10), dtype=np.uint8)
+    out = np.empty((n, 1 + vm.shape[1]), dtype=np.uint8)
     out[:, 0] = (~null_mask).astype(np.uint8)
     out[:, 1:] = vm
     lengths = np.where(null_mask, 1, vl.astype(np.int64) + 1)
@@ -345,7 +372,7 @@ def _code_matrix(codes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 def _pieces_matrix(cells: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
     """Variable-length per-row bytes → padded matrix (mask-scatter)."""
     n = len(cells)
-    lengths = np.fromiter((len(c) for c in cells), np.int64, n)
+    lengths = np.fromiter(map(len, cells), np.int64, n)
     w = int(lengths.max()) if n else 0
     out = np.zeros((n, max(w, 1)), dtype=np.uint8)
     if n:

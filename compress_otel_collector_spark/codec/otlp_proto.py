@@ -271,6 +271,100 @@ def _v(n: int) -> bytes:
     return _VAR[n] if n < 16384 else _varint(n)
 
 
+def _uvarint_matrix(values):
+    """Vectorized unsigned LEB128: non-negative int64 array → padded
+    (n, w) uint8 matrix + per-value lengths (w = widest encoding in the
+    column). The proto twin of ``varint.encode_sleb128_matrix``."""
+    import numpy as np
+
+    v = np.ascontiguousarray(values, dtype=np.int64)
+    n = v.shape[0]
+    k = np.ones(n, dtype=np.int64)
+    for t in range(1, 9):
+        k[v >= (1 << (7 * t))] = t + 1
+    w = int(k.max()) if n else 1
+    mat = np.empty((n, w), dtype=np.uint8)
+    shifted = v.copy()
+    for j in range(w):
+        mat[:, j] = (shifted & 0x7F).astype(np.uint8)
+        shifted >>= 7
+    cont = np.arange(w)[None, :] < (k - 1)[:, None]
+    mat |= cont.astype(np.uint8) << 7
+    return mat, k
+
+
+def _attr_kv_pieces(url, n_chars, const_b: bytes) -> list:
+    """Per-span attribute bytes — ``_url_kv(u) + const_b + n_chars kv`` —
+    assembled vectorized (r8): the url/n_chars KeyValue structures are
+    fixed shapes whose only variable parts are the utf-8 payload and the
+    length varints, so the whole column builds as padded field matrices +
+    one mask-select (the batch codec's ``_fields_blob`` pattern), and each
+    row's piece is ONE slice of the result instead of ~15 Python
+    concat/cache ops (``_url_kv`` was the proto arm's largest component).
+    Byte-identical to the per-row form — pinned by the wire-equality
+    tests against ``spans_rows_to_proto``."""
+    import numpy as np
+
+    import pyarrow as pa
+
+    n = len(url)
+    arr = pa.array(url, type=pa.string())
+    if arr.null_count:
+        raise CodecError("null http.url in proto arm")
+    bufs = arr.buffers()
+    off = np.frombuffer(bufs[1], dtype=np.int32)[
+        arr.offset:arr.offset + n + 1].astype(np.int64)
+    data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None \
+        else np.zeros(0, dtype=np.uint8)
+    ulen = off[1:] - off[:-1]
+
+    url_key = _f_str(1, "http.url")          # KeyValue.key
+    nc_key = _f_str(1, "n_chars")
+    t9, t2, t1 = _tag(9, 2), _tag(2, 2), _tag(1, 2)
+    t3v = _tag(3, 0)                          # AnyValue.int_value
+
+    # url kv: t9 v(len_kv) [url_key t2] v(len_inner) [t1] v(L) payload
+    lmat, lk = _uvarint_matrix(ulen)
+    inner_len = 1 + lk + ulen
+    imat, ik = _uvarint_matrix(inner_len)
+    kv_len = len(url_key) + 1 + ik + inner_len
+    kmat, kk = _uvarint_matrix(kv_len)
+    w = max(int(ulen.max()) if n else 0, 1)
+    pmat = np.zeros((n, w), dtype=np.uint8)
+    sel = np.arange(w)[None, :] < ulen[:, None]
+    pmat[sel] = data[off[0]:off[-1]]
+
+    # n_chars kv: t9 v(len_kv2) [nc_key t2] v(len_inner2) [t3v] v(c)
+    c = np.ascontiguousarray(n_chars, dtype=np.int64)
+    cmat, ck = _uvarint_matrix(c)
+    inner2_len = 1 + ck
+    i2mat, i2k = _uvarint_matrix(inner2_len)
+    kv2_len = len(nc_key) + 1 + i2k + inner2_len
+    k2mat, k2k = _uvarint_matrix(kv2_len)
+
+    def const(piece: bytes):
+        m = np.broadcast_to(
+            np.frombuffer(piece, dtype=np.uint8), (n, len(piece)))
+        return m, np.full(n, len(piece), dtype=np.int64)
+
+    fields = [
+        const(t9), (kmat, kk), const(url_key + t2), (imat, ik),
+        const(t1), (lmat, lk), (pmat, ulen),
+        const(const_b),
+        const(t9), (k2mat, k2k), const(nc_key + t2), (i2mat, i2k),
+        const(t3v), (cmat, ck),
+    ]
+    big = np.hstack([m for m, _ in fields])
+    mask = np.hstack([
+        np.arange(m.shape[1])[None, :] < l[:, None] for m, l in fields
+    ])
+    blob = big[mask].tobytes()
+    row_bytes = np.sum([l for _, l in fields], axis=0)
+    ends = np.cumsum(row_bytes)
+    starts = ends - row_bytes
+    return [blob[s:e] for s, e in zip(starts.tolist(), ends.tolist())]
+
+
 def spans_columns_to_proto(
     trace_id, span_id, trace_state, name, kind, start_ns, end_ns,
     url, n_chars, events, links, dropped_links,
@@ -341,29 +435,12 @@ def spans_columns_to_proto(
         ]
     else:
         time_pieces = [tbytes[18 * i:18 * i + 18] for i in range(n)]
-    # attributes: unique url per row (tight inline build), constants once,
-    # small-int n_chars cached
-    url_key = _f_str(1, "http.url")
-    t9, t2, t1 = _tag(9, 2), _tag(2, 2), _tag(1, 2)
+    # attributes: url kv + constants + n_chars kv, assembled vectorized
+    # (padded field matrices + one mask-select; see _attr_kv_pieces)
     const_b = b"".join(
         _kv_cached(9, k, type(v).__name__, v) for k, v in const_attrs.items()
     )
-    nchars_cache: dict = {}
-
-    def _url_kv(u: str) -> bytes:
-        ub = u.encode("utf-8")
-        inner = t1 + _v(len(ub)) + ub            # AnyValue.string_value
-        val = t2 + _v(len(inner)) + inner        # KeyValue.value
-        kv = url_key + val
-        return t9 + _v(len(kv)) + kv
-
-    attr_pieces = [
-        _url_kv(u) + const_b + (
-            nchars_cache.get(c) if c in nchars_cache else
-            nchars_cache.setdefault(
-                c, _kv_cached(9, "n_chars", "int", int(c))))
-        for u, c in zip(url, (int(x) for x in n_chars))
-    ]
+    attr_pieces = _attr_kv_pieces(url, n_chars, const_b)
     # events / links: sparse; suffixes (everything but the per-row
     # time/ids) cached two-level — an id()-keyed fast map first (the
     # pipeline shares ONE attrs dict across rows, so freezing per row is

@@ -87,27 +87,33 @@ def sleb128_lengths(values: np.ndarray) -> np.ndarray:
 
 
 def encode_sleb128_matrix(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """Encode an int64 array into a padded (n, 9) uint8 matrix + lengths.
+    """Encode an int64 array into a padded (n, w) uint8 matrix + lengths,
+    where w = the largest encoding in the column (≤ 9).
 
     Row i's first lengths[i] bytes are the sleb128 encoding of values[i]
     (trailing cells undefined). The padded form lets callers assemble many
     varint columns into one wide matrix and flatten with a single
-    mask-select — no per-value bytes objects.
+    mask-select — no per-value bytes objects. Width-adaptive (r8): most
+    codec columns are small pool indices whose encodings are 1–2 bytes,
+    so materializing all 9 columns was ~5× wasted vector work per call
+    (and proportionally larger hstack/mask downstream).
     """
     v = np.ascontiguousarray(values, dtype=np.int64)
     n = v.shape[0]
     if n == 0:
-        return np.zeros((0, 9), dtype=np.uint8), np.zeros(0, dtype=np.uint8)
+        return np.zeros((0, 1), dtype=np.uint8), np.zeros(0, dtype=np.uint8)
     k = sleb128_lengths(v)
-    mat = np.empty((n, 9), dtype=np.uint8)
+    w = int(k.max())
+    mat = np.empty((n, w), dtype=np.uint8)
     shifted = v.copy()
-    for j in range(8):
+    for j in range(min(w, 8)):
         mat[:, j] = (shifted & 0x7F).astype(np.uint8)
         shifted >>= 7  # arithmetic shift on int64 — matches Go semantics
-    mat[:, 8] = (shifted & 0xFF).astype(np.uint8)
-    cols = np.arange(8, dtype=np.uint8)
+    if w == 9:
+        mat[:, 8] = (shifted & 0xFF).astype(np.uint8)
+    cols = np.arange(min(w, 8), dtype=np.uint8)
     cont = cols[None, :] < (np.minimum(k, 9) - 1)[:, None]
-    mat[:, :8] |= cont.astype(np.uint8) << 7
+    mat[:, :min(w, 8)] |= cont.astype(np.uint8) << 7
     return mat, k
 
 
@@ -119,6 +125,6 @@ def encode_sleb128_array(values: np.ndarray) -> tuple[bytes, np.ndarray]:
     mat, k = encode_sleb128_matrix(values)
     if mat.shape[0] == 0:
         return b"", k
-    sel = np.arange(9, dtype=np.uint8)[None, :] < k[:, None]
+    sel = np.arange(mat.shape[1], dtype=np.uint8)[None, :] < k[:, None]
     flat = mat.reshape(-1)[sel.reshape(-1)]
     return flat.tobytes(), k

@@ -81,6 +81,37 @@ def warc_day_expr(ts_col: str = "warc_ts") -> Column:
     return F.date_trunc("day", F.col(ts_col)).cast("date")
 
 
+def span_columns_sql(doc_id_col: str = "doc_id",
+                     n_chars_col: str | None = None) -> list[str]:
+    """SQL-string twin of :func:`span_columns` for ``selectExpr`` —
+    builds the IDENTICAL expression tree in ONE py4j call instead of
+    ~50 Column-API round trips (r8: driver-side construction was a
+    measurable share of every pipeline query's wall). Equivalence is
+    pinned by tests/test_plans.py (span_columns ≡ span_columns_sql).
+    Span-shape lockstep note (CLAUDE.md) applies to BOTH forms."""
+    c = doc_id_col
+    nc = (f"coalesce({n_chars_col}, CAST(0 AS BIGINT))"
+          if n_chars_col is not None
+          else "coalesce(CAST(length(text) AS BIGINT), CAST(0 AS BIGINT))")
+    start = "coalesce(unix_micros(warc_ts) * 1000, CAST(0 AS BIGINT))"
+    return [
+        "unhex(md5(url)) AS trace_id",
+        "unhex(substring(md5(url), 1, 16)) AS span_id",
+        "unhex('') AS parent_span_id",
+        f"CASE WHEN {c} % 10 = 0 THEN 'cc=1' ELSE '' END AS trace_state",
+        f"concat('GET /p', CAST({c} % 20 AS STRING)) AS name",
+        f"CAST({c} % 6 AS BIGINT) AS kind",
+        f"{start} AS start_ns",
+        f"{start} + {nc} * 1000000 AS end_ns",
+        "CAST(0 AS BIGINT) AS dropped_attributes_count",
+        "CAST(0 AS BIGINT) AS dropped_events_count",
+        f"CAST({c} % 2 AS BIGINT) AS dropped_links_count",
+        f"CASE WHEN {c} % 4 = 0 THEN 'OK' ELSE '' END AS status_message",
+        f"CAST({c} % 3 AS BIGINT) AS status_code",
+        f"{nc} AS n_chars",
+    ]
+
+
 def span_columns(doc_id_col: str = "doc_id",
                  n_chars_col: str | None = None) -> list[Column]:
     """Synthesize the OTel-shaped span columns from a parsed page row.

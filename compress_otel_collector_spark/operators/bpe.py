@@ -169,8 +169,15 @@ def parse_merges_text(text: str) -> list[tuple[int, int]]:
                     "base byte char nor a previous merge result")
             ids.append(i)
         merged = parts[0] + parts[1]
-        if merged not in sym_id:  # duplicate lines keep the first rank
-            sym_id[merged] = 256 + len(merges)
+        if merged in sym_id:
+            # duplicate merged symbol: keep the FIRST rank and skip the
+            # line entirely. Appending anyway (pre-r8) left rank/sym_id
+            # inconsistent: the encoder emitted the LAST duplicate's id
+            # (dict-comprehension _rank) while later lines composing the
+            # merged symbol resolved to the first id, so those merges
+            # could never fire (ADVICE r7).
+            continue
+        sym_id[merged] = 256 + len(merges)
         merges.append((ids[0], ids[1]))
     return merges
 

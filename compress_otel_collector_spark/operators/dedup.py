@@ -146,19 +146,83 @@ def minhash_signatures(df: DataFrame, num_hashes: int = 8,
     Shingles stay non-distinct: ``min`` is duplicate-insensitive, so the
     signatures are identical and the per-(doc, shingle) dedup shuffle —
     a full exchange of the exploded shingle stream, the largest cost in
-    the r2 plan — disappears. The only shuffle left before banding is the
-    per-doc aggregate (with map-side partial mins).
+    the r2 plan — disappears.
+
+    Shape (r8, guide §2.4/§4.2): the whole shingle → md5 → per-doc min
+    runs as ONE Arrow-batched pandas UDF (hashlib md5 + numpy
+    ``minimum.reduceat``), making the operator a narrow projection with
+    NO shuffle — the r2–r7 form exploded shingles and ran an
+    8-aggregate ``groupBy(doc_id)``, a full exchange of the (partially
+    aggregated) signature stream. Lexicographic min over equal-length
+    lowercase-hex substrings ≡ numeric min over the big-endian 32-bit
+    words of the digest, so the uint32 kernel reproduces the SQL min
+    bit-for-bit (pinned by the unchanged DuckDB twin). The
+    ≥ n-token filter is a JVM predicate BELOW the UDF (guide §4.4:
+    never filter on a UDF output column).
     """
-    sh = word_shingles(df, n=n, distinct=False)
     n_md5 = (num_hashes + 3) // 4
-    hashed = sh.select(
-        "doc_id",
-        *[F.md5(F.concat(F.col("shingle"), F.lit(f"#{g}"))).alias(f"h{g}")
-          for g in range(n_md5)],
-    )
-    return hashed.groupBy("doc_id").agg(
-        *[F.min(F.substring(F.col(f"h{s // 4}"), (s % 4) * 8 + 1, 8))
-          .alias(f"sig{s}") for s in range(num_hashes)]
+    from pyspark.sql.functions import pandas_udf
+
+    ret_type = ", ".join(f"sig{s} string" for s in range(num_hashes))
+
+    @pandas_udf(ret_type)
+    def _sigs_batch(texts):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        md5 = hashlib.md5
+        salts = [f"#{g}".encode() for g in range(n_md5)]
+        counts = np.empty(len(texts), dtype=np.int64)
+        flat: list = []
+        for row, s in enumerate(texts):
+            toks = [t for t in s.split(" ") if t]
+            m = len(toks) - (n - 1)
+            if m <= 0:
+                counts[row] = 0
+                continue
+            counts[row] = m
+            join = " ".join
+            flat.extend(join(toks[i:i + n]) for i in range(m))
+        total = len(flat)
+        out = {f"sig{s}": [""] * len(texts) for s in range(num_hashes)}
+        if total:
+            # hash each DISTINCT shingle once (duplicate shingles are the
+            # whole reason minhash works); NUL-exact factorize per
+            # CLAUDE.md, codes gather the word rows back per occurrence
+            from compress_otel_collector_spark.codec.batch import (
+                _factorize_exact,
+            )
+
+            codes, uniq = _factorize_exact(flat)
+            digests = b"".join(
+                md5(u8 + salt).digest()
+                for sh in uniq
+                for u8 in (sh.encode("utf-8"),)
+                for salt in salts
+            )
+            # (U, n_md5·4) big-endian 32-bit words; component s = word
+            # (s%4) of digest (s//4) = hex chars [8·(s%4), 8·(s%4)+8)
+            words = np.frombuffer(digests, dtype=">u4").reshape(
+                len(uniq), n_md5 * 4)
+            starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+            nz = counts > 0
+            mins = np.minimum.reduceat(
+                words[codes], starts[nz].astype(np.intp), axis=0)
+            rows_nz = np.nonzero(nz)[0]
+            for s in range(num_hashes):
+                colmin = mins[:, (s // 4) * 4 + (s % 4)]
+                col = out[f"sig{s}"]
+                for j, row in enumerate(rows_nz):
+                    col[row] = f"{colmin[j]:08x}"
+        return pd.DataFrame(out)
+
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    return (
+        df.where(F.size(toks) >= n)
+        .select(F.col("doc_id"), _sigs_batch(F.col("text")).alias("_s"))
+        .select("doc_id", "_s.*")
     )
 
 
@@ -320,45 +384,101 @@ def simhash(df: DataFrame, bits: int = 64, text_col: str = "text",
     ~min(N, 65536) buckets, so bucket membership shrinks with corpus
     growth — the r2 16-bit variant had only 16 values per band, which made
     per-bucket candidate generation effectively quadratic.
-    """
+
+    Shape (r8, guide §2.4/§4.2): a NARROW projection with no shuffle —
+    the per-doc bit-majority runs as one Arrow-batched pandas UDF
+    (hashlib md5 + numpy ``add.reduceat`` bit counting), replacing the
+    r2–r7 explode + 65-aggregate ``groupBy(doc_id)``, which (a) shuffled
+    the whole token stream and (b) carried a ~900-node Catalyst tree
+    (64 bit columns × 65 sum aggregates) costing ~1.2 s of driver-side
+    planning per invocation at ANY data size. The zero-token filter is a
+    JVM predicate BELOW the UDF (never a filter on the UDF output — that
+    shape makes the optimizer evaluate the UDF twice, guide §4.4).
+    Fingerprints are bit-identical (same md5-nibble bits, same
+    2·ones > n majority rule, same -2**63 top-bit representation —
+    pinned by the unchanged DuckDB twin and tests)."""
     if bits % 4 or not 0 < bits <= 64:
         raise ValueError(f"bits must be a positive multiple of 4 <= 64, "
                          f"got {bits}")
-    tok = F.explode(F.split(F.col(text_col), " ")).alias("token")
-    toks = df.select(F.col(id_col).alias("doc_id"), tok).where(
-        F.col("token") != "")
-    h = F.md5(F.col("token"))
-    # parse 8 hex chars per conv (2 string parses per token instead of 16);
-    # hex char p is the most significant digit of its group, so digit p's
-    # bit b sits at group bit (7 - p%8)*4 + b
-    groups = toks.select("doc_id", *[
-        F.conv(F.substring(h, 8 * g + 1, 8), 16, 10).cast("long")
-        .alias(f"g{g}")
-        for g in range((bits + 31) // 32)
-    ])
+    from pyspark.sql.functions import pandas_udf
 
-    def _bit(i: int) -> Column:
-        p, b = i // 4, i % 4
-        return (F.shiftright(F.col(f"g{p // 8}"), (7 - p % 8) * 4 + b)
-                .bitwiseAND(F.lit(1)))
+    @pandas_udf("long")
+    def _simhash_batch(texts):
+        import hashlib
 
-    per_tok = groups.select(
-        "doc_id", *[_bit(i).alias(f"c{i}") for i in range(bits)])
-    # ±1 sign-of-sum ≡ majority vote: sum(±1) = 2·ones − n > 0 ⇔ 2·ones > n
-    agg = per_tok.groupBy("doc_id").agg(
-        F.count("*").alias("n"),
-        *[F.sum(f"c{i}").alias(f"s{i}") for i in range(bits)]
+        import numpy as np
+        import pandas as pd
+
+        n_digits = bits // 4
+        n_bytes = (n_digits + 1) // 2
+        md5 = hashlib.md5
+        flat: list = []
+        counts = np.empty(len(texts), dtype=np.int64)
+        for row, s in enumerate(texts):
+            toks = [t for t in s.split(" ") if t]
+            counts[row] = len(toks)
+            flat.extend(toks)
+        total = len(flat)
+        if total == 0:
+            return pd.Series(np.zeros(len(texts), dtype=np.int64))
+        # hash each DISTINCT token once (corpora repeat tokens heavily);
+        # codes gather the per-occurrence bit rows back. NUL-exact
+        # factorize (CLAUDE.md): raw pd.factorize truncates str keys at
+        # embedded NULs, which would conflate distinct tokens.
+        from compress_otel_collector_spark.codec.batch import (
+            _factorize_exact,
+        )
+
+        codes, uniques = _factorize_exact(flat)
+        digests = b"".join(
+            md5(t.encode("utf-8")).digest()[:n_bytes] for t in uniques)
+        byt = np.frombuffer(digests, dtype=np.uint8).reshape(
+            len(uniques), n_bytes)
+        # hex digit p: high nibble of byte p//2 when p even, low when odd
+        digits = np.empty((len(uniques), n_digits), dtype=np.uint8)
+        digits[:, 0::2] = byt[:, :(n_digits + 1) // 2] >> 4
+        digits[:, 1::2] = byt[:, :n_digits // 2] & 15
+        # bit i of a token = bit i%4 of digit i//4; int32 so the per-doc
+        # reduceat cannot overflow (uint8 would wrap at 256 same-bit
+        # tokens in one document)
+        uniq_bits = (
+            (digits[:, :, None] >> np.arange(4, dtype=np.uint8)) & 1
+        ).reshape(len(uniques), bits).astype(np.int32)
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        nz = counts > 0
+        ones = np.zeros((len(texts), bits), dtype=np.int64)
+        # chunk by documents so the gathered (tokens, bits) int32 matrix
+        # stays bounded (~50 MB) at any Arrow batch size
+        nz_rows = np.nonzero(nz)[0]
+        if len(nz_rows):
+            budget = 200_000  # tokens per chunk
+            lo = 0
+            while lo < len(nz_rows):
+                hi = lo
+                tok_sum = 0
+                while hi < len(nz_rows) and (hi == lo
+                                             or tok_sum < budget):
+                    tok_sum += counts[nz_rows[hi]]
+                    hi += 1
+                rows = nz_rows[lo:hi]
+                t0 = starts[rows[0]]
+                t1 = starts[rows[-1]] + counts[rows[-1]]
+                ones[rows] = np.add.reduceat(
+                    uniq_bits[codes[t0:t1]],
+                    (starts[rows] - t0).astype(np.intp), axis=0)
+                lo = hi
+        # ±1 sign-of-sum ≡ majority: sum(±1) = 2·ones − n > 0 ⇔ 2·ones > n
+        maj = (2 * ones) > counts[:, None]
+        pows = (np.uint64(1) << np.arange(bits, dtype=np.uint64))
+        fp = (maj.astype(np.uint64) * pows).sum(axis=1, dtype=np.uint64)
+        return pd.Series(fp.view(np.int64), dtype="int64")
+
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    return (
+        df.where(F.size(toks) >= 1)
+        .select(F.col(id_col).alias("doc_id"),
+                _simhash_batch(F.col(text_col)).alias("simhash"))
     )
-    fingerprint = sum(
-        (F.when(2 * F.col(f"s{i}") > F.col("n"),
-                F.lit(-9223372036854775808).cast("long"))
-         .otherwise(F.lit(0).cast("long")))
-        if i == 63 else
-        (F.when(2 * F.col(f"s{i}") > F.col("n"), 1).otherwise(0)
-         * F.lit(2 ** i)).cast("long")
-        for i in range(bits)
-    )
-    return agg.select("doc_id", fingerprint.alias("simhash"))
 
 
 def simhash_hamming_pairs(df: DataFrame, max_distance: int = 3,

@@ -58,6 +58,7 @@ from ..functions.columns import (
     host_of_url_expr,
     salt_expr,
     span_columns,
+    span_columns_sql,
     warc_day_expr,
 )
 from ..sources.tables import lang_lookup
@@ -119,11 +120,11 @@ def span_stage(df: DataFrame) -> DataFrame:
     produced — not the input's ``text`` column (identical on rows passing
     the byte-identical-extraction invariant, but only the former is
     guaranteed non-null after ``parse_stage``)."""
-    keep = [F.col(c) for c in
-            ("url", "lang", "host", "host_bucket", "warc_day", "doc_id")]
+    keep = ["url", "lang", "host", "host_bucket", "warc_day", "doc_id"]
     return df.withColumn(
         "_n_chars_pre", F.length(F.col("text_extracted")).cast("long")
-    ).select(*keep, *span_columns("doc_id", n_chars_col="_n_chars_pre"))
+    ).selectExpr(*keep,
+                 *span_columns_sql("doc_id", n_chars_col="_n_chars_pre"))
 
 
 def _hex_column(vals, width: int):
@@ -196,8 +197,16 @@ def _json_arm_bytes(spans: pd.DataFrame) -> bytes:
                 cols[c] = o.tolist()
             else:
                 cols[c] = a.tolist()
+    # compiled literal-dict row builder: a dict display with constant keys
+    # (BUILD_CONST_KEY_MAP) is ~2× dict(zip()) per row, and this listcomp
+    # was the arm's single largest component (same generated-code pattern
+    # as plans/projector's walker). Bytes are identical — only how the
+    # per-row dicts are constructed changes.
     names = list(cols)
-    recs = [dict(zip(names, r)) for r in zip(*cols.values())]
+    src = "lambda r: {" + ", ".join(
+        f"{name!r}: r[{i}]" for i, name in enumerate(names)) + "}"
+    make_rec = eval(src)  # noqa: S307 - constant keys from our own columns
+    recs = list(map(make_rec, zip(*cols.values())))
     return orjson.dumps(recs)
 
 
@@ -511,9 +520,9 @@ def _pre_encode_frame(enriched: DataFrame, n_salts: int = 16,
     # blob count stays at the wide path's level; no extra exchange
     # (sortWithinPartitions is narrow).
     routed = routed.sortWithinPartitions("lang", "host_bucket", "doc_id")
-    return routed.select(
+    return routed.selectExpr(
         "url", "lang", "host_bucket", "doc_id",
-        *span_columns("doc_id", n_chars_col="n_chars_pre"))
+        *span_columns_sql("doc_id", n_chars_col="n_chars_pre"))
 
 
 def route_stage(encoded: DataFrame, out_dir: str,
@@ -663,53 +672,51 @@ def expected_roundtrip(spans: DataFrame, events_every: int = 10,
     null coercion (encode.go:600-614): nullable int 0 → null, nullable empty
     string → null. Column-for-column aligned with ``_ROUNDTRIP_SCHEMA``.
     """
-    c = F.col("doc_id")
-    md5url = F.md5(F.col("url"))
-    has_event = (c % events_every == 0) if events_every else F.lit(False)
-    has_link = (c % links_every == 0) if links_every else F.lit(False)
-    null_s = F.lit(None).cast("string")
-    null_l = F.lit(None).cast("long")
-    return spans.select(
+    # ONE selectExpr call (r8): the Column-API form issued several
+    # hundred py4j round trips to assemble these 31 expressions, ~0.5 s
+    # of driver-side Python per invocation at any data size; the SQL
+    # strings build the identical expression tree in a single call.
+    ev = (f"(doc_id % {events_every} = 0)" if events_every else "false")
+    lk = (f"(doc_id % {links_every} = 0)" if links_every else "false")
+    return spans.selectExpr(
         "url", "lang",
-        md5url.alias("trace_id_hex"),
-        F.substring(md5url, 1, 16).alias("span_id_hex"),
-        null_s.alias("parent_span_id_hex"),  # empty bytes → null
-        F.when(c % 10 == 0, "cc=1").otherwise(null_s).alias("trace_state"),
+        "md5(url) AS trace_id_hex",
+        "substring(md5(url), 1, 16) AS span_id_hex",
+        "CAST(NULL AS STRING) AS parent_span_id_hex",  # empty bytes → null
+        "CASE WHEN doc_id % 10 = 0 THEN 'cc=1' END AS trace_state",
         "name",
-        F.when(c % 6 == 0, null_l).otherwise((c % 6).cast("long"))
-        .alias("kind"),
+        "CASE WHEN doc_id % 6 = 0 THEN CAST(NULL AS BIGINT) "
+        "ELSE CAST(doc_id % 6 AS BIGINT) END AS kind",
         "start_ns", "end_ns",
-        F.when(c % 4 == 0, "OK").otherwise(null_s).alias("status_message"),
-        (c % 3).cast("long").alias("status_code"),  # non-nullable: 0 kept
-        null_l.alias("dropped_attributes_count"),
-        null_l.alias("dropped_events_count"),
-        F.when(c % 2 == 1, F.lit(1).cast("long")).otherwise(null_l)
-        .alias("dropped_links_count"),
-        F.lit(200).cast("long").alias("http_status"),
+        "CASE WHEN doc_id % 4 = 0 THEN 'OK' END AS status_message",
+        # non-nullable: 0 kept
+        "CAST(doc_id % 3 AS BIGINT) AS status_code",
+        "CAST(NULL AS BIGINT) AS dropped_attributes_count",
+        "CAST(NULL AS BIGINT) AS dropped_events_count",
+        "CASE WHEN doc_id % 2 = 1 THEN CAST(1 AS BIGINT) END "
+        "AS dropped_links_count",
+        "CAST(200 AS BIGINT) AS http_status",
         "n_chars",
-        F.when(has_event, F.lit(1)).otherwise(F.lit(0)).cast("long")
-        .alias("n_events"),
-        F.when(has_event, "fetch").otherwise(null_s).alias("event_name"),
-        F.when(has_event, F.col("start_ns") + 1_000_000).otherwise(null_l)
-        .alias("event_time_ns"),
-        F.when(has_event & (c % 20 == 0), "connect").otherwise(null_s)
-        .alias("event_phase"),
+        f"CAST(CASE WHEN {ev} THEN 1 ELSE 0 END AS BIGINT) AS n_events",
+        f"CASE WHEN {ev} THEN 'fetch' END AS event_name",
+        f"CASE WHEN {ev} THEN start_ns + 1000000 END AS event_time_ns",
+        f"CASE WHEN {ev} AND doc_id % 20 = 0 THEN 'connect' END "
+        "AS event_phase",
         # the nested free-map attribute (object-in-map with an int + an
         # int array): ttl and the joined hops list must survive the wire
-        F.when(has_event & (c % 20 == 0), F.lit(64).cast("long"))
-        .otherwise(null_l).alias("event_probe_ttl"),
-        F.when(has_event & (c % 20 == 0), "1,2").otherwise(null_s)
-        .alias("event_probe_hops"),
-        F.when(has_link, F.lit(1)).otherwise(F.lit(0)).cast("long")
-        .alias("n_links"),
-        F.when(has_link, md5url).otherwise(null_s).alias("link_trace_hex"),
-        F.when(has_link, F.substring(md5url, 17, 16)).otherwise(null_s)
-        .alias("link_span_hex"),
-        F.when(has_link, "prev").otherwise(null_s).alias("link_rel"),
-        F.concat(F.lit("crawler-"), F.col("lang")).alias("service_name"),
-        F.col("host_bucket").cast("long").alias("host_bucket_attr"),
-        F.lit("compress-otel-collector-spark").alias("scope_name"),
-        F.lit("0.1.0").alias("scope_version"),
+        f"CASE WHEN {ev} AND doc_id % 20 = 0 THEN CAST(64 AS BIGINT) END "
+        "AS event_probe_ttl",
+        f"CASE WHEN {ev} AND doc_id % 20 = 0 THEN '1,2' END "
+        "AS event_probe_hops",
+        f"CAST(CASE WHEN {lk} THEN 1 ELSE 0 END AS BIGINT) AS n_links",
+        f"CASE WHEN {lk} THEN md5(url) END AS link_trace_hex",
+        f"CASE WHEN {lk} THEN substring(md5(url), 17, 16) END "
+        "AS link_span_hex",
+        f"CASE WHEN {lk} THEN 'prev' END AS link_rel",
+        "concat('crawler-', lang) AS service_name",
+        "CAST(host_bucket AS BIGINT) AS host_bucket_attr",
+        "'compress-otel-collector-spark' AS scope_name",
+        "'0.1.0' AS scope_version",
     )
 
 
@@ -743,14 +750,16 @@ def roundtrip_counts(decoded: DataFrame, expected: DataFrame,
         def tag(df):
             return df.select(*cols)
     else:
-        hash_inputs = [part for c in cols
-                       for part in (F.isnull(c).cast("int"), F.col(c))]
+        # one selectExpr call (r8): the Column-API form built 124 input
+        # expressions × 2 hashes via individual py4j round trips
+        parts = ", ".join(
+            f"CAST(isnull({c}) AS INT), {c}" for c in cols)
         key_cols = ["_h1", "_h2"]
 
         def tag(df):
-            return df.select(
-                F.xxhash64(*hash_inputs).alias("_h1"),
-                F.xxhash64(F.lit(-7), *hash_inputs).alias("_h2"),
+            return df.selectExpr(
+                f"xxhash64({parts}) AS _h1",
+                f"xxhash64(-7, {parts}) AS _h2",
             )
 
     tagged = (

@@ -162,6 +162,22 @@ class TestMergesFile:
         with pytest.raises(ValueError, match="expected 'sym1 sym2'"):
             bpe.parse_merges_text("lonely\n")
 
+    def test_duplicate_merge_lines_are_skipped_consistently(self):
+        """A duplicate merged symbol keeps the FIRST rank and the line is
+        dropped entirely (r8, ADVICE r7): pre-r8 the duplicate was still
+        appended to merges, so _rank mapped the pair to the LAST rank
+        while later lines composing the symbol resolved to the first id —
+        those merges could never fire."""
+        visible = bpe._bytes_to_unicode()
+        a, b = visible[ord("a")], visible[ord("b")]
+        text = f"{a} {b}\n{a} {b}\n{a}{b} {b}\n"
+        merges = bpe.parse_merges_text(text)
+        # duplicate dropped: ranks stay dense and consistent
+        assert merges == [(ord("a"), ord("b")), (256, ord("b"))]
+        tok = bpe.BPETokenizer(merges)
+        # the second merge now FIRES: 'abb' -> [ab, b] -> [abb]
+        assert tok.encode("abb") == [257]
+
     def test_default_unchanged_by_knob(self):
         # threading merges=None everywhere must keep the pinned table
         assert bpe.get_tokenizer(None) is bpe._DEFAULT_TOK

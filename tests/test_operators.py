@@ -111,6 +111,26 @@ class TestSimHash:
         with pytest.raises(ValueError):
             simhash(docs, bits=10)
 
+    def test_long_doc_no_counter_overflow(self, spark):
+        """A doc of >256 identical tokens must fingerprint exactly like a
+        1-token doc of the same word (majority of identical rows = the
+        row). Pins the r8 kernel's int32 bit accumulation — a uint8
+        reduceat would wrap at 256 same-bit tokens and flip bits."""
+        df = spark.createDataFrame(
+            [(1, "word " * 300), (2, "word")],
+            "doc_id long, text string")
+        rows = {r["doc_id"]: r["simhash"] for r in simhash(df).collect()}
+        assert rows[1] == rows[2]
+
+    def test_nul_tokens_stay_distinct(self, spark):
+        """Tokens differing only past an embedded NUL must hash apart
+        (the factorize-unique fast path routes through the NUL-exact
+        factorizer per CLAUDE.md)."""
+        df = spark.createDataFrame(
+            [(1, "a"), (2, "a\x00b")], "doc_id long, text string")
+        rows = {r["doc_id"]: r["simhash"] for r in simhash(df).collect()}
+        assert rows[1] != rows[2]
+
     def test_max_distance_validation(self, docs):
         import pytest
 

@@ -164,3 +164,25 @@ def test_encode_pages_shuffles_narrow_payload(spark, sf_dir):
         "trace/span id derivation ran BEFORE the exchange — the shuffle "
         f"is carrying the wide span row again:\n{plan[:3000]}"
     )
+
+
+def test_span_columns_sql_equals_column_form(spark, sf_dir):
+    """span_columns (Column API) ≡ span_columns_sql (selectExpr strings):
+    the r8 driver-overhead optimization must build the identical
+    expression tree — same schema, same rows — in both n_chars modes."""
+    from compress_otel_collector_spark.functions.columns import (
+        span_columns,
+        span_columns_sql,
+    )
+    from pyspark.sql import functions as F
+
+    pages = pages_from_documents(spark, sf_dir)
+    base = pages.withColumn(
+        "n_chars_pre", F.length(F.col("text")).cast("long"))
+    for kw in ({"n_chars_col": "n_chars_pre"}, {}):
+        via_cols = base.select("doc_id", *span_columns("doc_id", **kw))
+        via_sql = base.selectExpr("doc_id",
+                                  *span_columns_sql("doc_id", **kw))
+        assert via_cols.schema == via_sql.schema
+        assert via_cols.exceptAll(via_sql).count() == 0
+        assert via_sql.exceptAll(via_cols).count() == 0
