@@ -211,8 +211,35 @@ def write_plans(suffix: str = "before"):
     print(f"wrote plans/r08/*_{suffix}.txt")
 
 
+def sweep_all(runs: int = 2):
+    """One-pass wall sweep of EVERY queries() entry at $SPARK_GRAFT_SF_DIR
+    (the 50-query audit the r8 checklist wants) — warm pass + median of
+    ``runs`` noop-sink walls each."""
+    import __spark_entry__ as entrymod
+
+    spark = make_spark()
+    _warmup(spark)
+    qs = entrymod.queries()
+    out = {}
+    for name, fn in qs.items():
+        try:
+            _noop(fn(spark, SF_DIR))
+            walls = []
+            for _ in range(runs):
+                t0 = time.monotonic()
+                _noop(fn(spark, SF_DIR))
+                walls.append(round(time.monotonic() - t0, 3))
+            out[name] = round(statistics.median(walls), 3)
+        except Exception as ex:  # pragma: no cover
+            out[name] = f"ERR {type(ex).__name__}: {ex}"[:120]
+    spark.stop()
+    print(json.dumps(out, indent=1))
+
+
 if __name__ == "__main__":
-    if "--queries" in sys.argv:
+    if "--sweep" in sys.argv:
+        sweep_all()
+    elif "--queries" in sys.argv:
         profile_queries()
     elif "--pipeline" in sys.argv:
         profile_pipeline()

@@ -473,9 +473,11 @@ def simhash(df: DataFrame, bits: int = 64, text_col: str = "text",
         fp = (maj.astype(np.uint64) * pows).sum(axis=1, dtype=np.uint64)
         return pd.Series(fp.view(np.int64), dtype="int64")
 
-    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    # ≥1 non-empty token ⇔ some non-space char ⇔ trim(text) != '' — the
+    # split/filter form re-tokenized every document in the JVM just to
+    # test emptiness (the UDF tokenizes anyway)
     return (
-        df.where(F.size(toks) >= 1)
+        df.where(F.trim(F.col(text_col)) != "")
         .select(F.col(id_col).alias("doc_id"),
                 _simhash_batch(F.col(text_col)).alias("simhash"))
     )

@@ -87,23 +87,21 @@ def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin (see ``__spark_entry__.oracle_sql``), so oracle comparisons hold.
     """
     d = load_table(spark, sf_dir, "documents")
-    host = host_expr("doc_id")
-    url = F.concat(F.lit("https://"), host, F.lit("/p"),
-                   F.col("doc_id").cast("string"))
-    html_str = F.concat(
-        F.lit("<html><head><title>T"), F.col("doc_id").cast("string"),
-        F.lit("</title></head><body><p>"), F.col("text"),
-        F.lit("</p></body></html>"),
-    )
-    return d.select(
-        url.alias("url"),
-        F.timestamp_seconds(
-            F.lit(WARC_TS_BASE) + F.col("doc_id") * 37
-        ).alias("warc_ts"),
-        F.encode(html_str, "UTF-8").alias("html"),
-        F.col("text"),
-        F.col("lang"),
-        F.col("doc_id"),  # kept for lineage/oracle joins; dropped by stages
+    # ONE selectExpr call (r8 driver-overhead discipline): identical
+    # expression tree to the former Column-API form in a single py4j
+    # round trip; host stays in lockstep with HOST_SQL / host_expr
+    host = ("CASE WHEN doc_id % 10 < 3 THEN 'mega.example.com' "
+            "ELSE concat('host', CAST(doc_id % 47 AS STRING), "
+            "'.example.com') END")
+    html_str = ("concat('<html><head><title>T', CAST(doc_id AS STRING), "
+                "'</title></head><body><p>', text, '</p></body></html>')")
+    return d.selectExpr(
+        f"concat('https://', {host}, '/p', CAST(doc_id AS STRING)) AS url",
+        f"timestamp_seconds({WARC_TS_BASE} + doc_id * 37) AS warc_ts",
+        f"encode({html_str}, 'UTF-8') AS html",
+        "text",
+        "lang",
+        "doc_id",  # kept for lineage/oracle joins; dropped by stages
     )
 
 
