@@ -395,11 +395,29 @@ def spans_columns_to_proto(
     import numpy as np
 
     n = len(url)
-    # ids: fixed-width -> constant prefixes
+    # ids: fixed-width -> constant prefixes; when every id has the OTLP
+    # width the whole column assembles as one (n, 28) matrix + slices
+    # (r8 — one bytes concat per row otherwise)
     p_tid = _tag(1, 2) + _v(16)
     p_sid = _tag(2, 2) + _v(8)
-    id_pieces = [p_tid + bytes(t) + p_sid + bytes(s)
-                 for t, s in zip(trace_id, span_id)]
+    try:
+        tid_buf = b"".join(trace_id)
+        sid_buf = b"".join(span_id)
+    except TypeError:  # non-bytes cells (bytearray/memoryview callers)
+        tid_buf = sid_buf = b""
+    if n and len(tid_buf) == 16 * n and len(sid_buf) == 8 * n:
+        idmat = np.empty((n, 28), dtype=np.uint8)
+        idmat[:, 0:2] = np.frombuffer(p_tid, dtype=np.uint8)
+        idmat[:, 2:18] = np.frombuffer(tid_buf, dtype=np.uint8).reshape(
+            n, 16)
+        idmat[:, 18:20] = np.frombuffer(p_sid, dtype=np.uint8)
+        idmat[:, 20:28] = np.frombuffer(sid_buf, dtype=np.uint8).reshape(
+            n, 8)
+        idb = idmat.tobytes()
+        id_pieces = [idb[28 * i:28 * i + 28] for i in range(n)]
+    else:  # odd-width ids (generic callers): per-row concat
+        id_pieces = [p_tid + bytes(t) + p_sid + bytes(s)
+                     for t, s in zip(trace_id, span_id)]
     # trace_state / name / kind: low-cardinality -> dict caches
     ts_cache = {None: b"", "": b""}
     name_cache: dict = {}

@@ -272,19 +272,25 @@ def _group_spans_frame(g: pd.DataFrame, lang, bucket,
     (``scripts/profile_arms.py``) so the profiled path IS the shipped
     path. Span-shape lockstep note (CLAUDE.md) applies here.
     """
-    spans = pd.DataFrame({
+    import numpy as np
+
+    n = len(g)
+    doc_ids = g["doc_id"].to_numpy()
+    starts = g["start_ns"].to_numpy()
+    trace_ids = g["trace_id"].to_numpy()
+    cols = {
         c: g[c].to_numpy()
         for c in ("trace_id", "span_id", "parent_span_id",
                   "trace_state", "name", "kind", "start_ns",
                   "end_ns", "dropped_attributes_count",
                   "dropped_events_count", "dropped_links_count",
                   "status_message", "status_code")
-    })
+    }
     # columnar attributes (no per-row dict building): the codec
     # encodes the free-map pool entries columnwise
-    spans["attr:http.url"] = g["url"].to_numpy()
-    spans["attr:http.status_code"] = 200
-    spans["attr:n_chars"] = g["n_chars"].to_numpy()
+    cols["attr:http.url"] = g["url"].to_numpy()
+    cols["attr:http.status_code"] = np.full(n, 200)
+    cols["attr:n_chars"] = g["n_chars"].to_numpy()
     attrs_spec = {
         "http.url": "str", "http.status_code": "int",
         "n_chars": "int",
@@ -292,14 +298,15 @@ def _group_spans_frame(g: pd.DataFrame, lang, bucket,
     # a null-lang group (unmatched routing key) simply omits the
     # attribute — free-map entries are absent, never null
     if lang is not None and not pd.isna(lang):
-        spans["attr:lang"] = lang
+        lang_col = np.empty(n, dtype=object)
+        lang_col[:] = lang
+        cols["attr:lang"] = lang_col
         attrs_spec["lang"] = "str"
-    doc_ids = g["doc_id"].to_numpy()
-    spans["events"] = _span_events_cells(
-        doc_ids, g["start_ns"].to_numpy(), events_every)
-    spans["links"] = _span_links_cells(
-        doc_ids, g["trace_id"].to_numpy(), links_every)
-    return spans, attrs_spec
+    cols["events"] = _span_events_cells(doc_ids, starts, events_every)
+    cols["links"] = _span_links_cells(doc_ids, trace_ids, links_every)
+    # ONE construction (r8): the former build-then-5×__setitem__ shape
+    # paid a pandas block-manager consolidation per added column
+    return pd.DataFrame(cols, copy=False), attrs_spec
 
 
 def _arm_sizes(spans: pd.DataFrame, lang, bucket, blob: bytes,
