@@ -67,6 +67,21 @@ class TestMinHashLSH:
         pairs = minhash_lsh_pairs(docs)
         assert pairs.where(F.col("a_id") >= F.col("b_id")).count() == 0
 
+    def test_nul_shingles_stay_distinct(self, spark):
+        """Shingles differing only past an embedded NUL must hash apart
+        (the r8 kernel's distinct-shingle fast path routes through the
+        NUL-exact factorizer per CLAUDE.md)."""
+        from compress_otel_collector_spark.operators.dedup import (
+            minhash_signatures,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "a b c"), (2, "a b c\x00d")],
+            "doc_id long, text string")
+        rows = {r["doc_id"]: tuple(r[f"sig{s}"] for s in range(8))
+                for r in minhash_signatures(df).collect()}
+        assert rows[1] != rows[2]
+
 
 class TestJaccard:
     def test_exact_dup_jaccard_is_one(self, docs_with_dups):
